@@ -1,0 +1,194 @@
+"""Corpus packing: ragged strings -> fixed-shape unit arrays.
+
+The TPU engine scores thousands of haystacks per kernel invocation
+(inter-sequence parallelism — the layout the reference rejected for CPU
+because of interleave/bucketing cost, reference README.md:179, but which is
+the natural fit for a 8x128-lane vector unit). This module turns a ragged
+corpus into length-bucketed, padded arrays of *units* (bytes on the ASCII
+path, codepoints on the unicode path; see oracle/tokenize.py for the unit
+model) using vectorized NumPy, so packing keeps up with the device.
+
+A packed `Corpus` is query-independent: build once, match many queries —
+the production serving pattern.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# Unit-width buckets. Widths beyond MAX_HAYSTACK_LEN form the "XL" bucket,
+# where windows larger than the DP cap fall back to the greedy matcher
+# (reference: src/smith_waterman/algo/mod.rs:18).
+DEFAULT_BUCKETS: Tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024)
+
+
+def _utf8_lead_byte(cp: np.ndarray) -> np.ndarray:
+    """First UTF-8 byte of each codepoint (vectorized)."""
+    out = np.where(cp < 0x80, cp, 0)
+    out = np.where((cp >= 0x80) & (cp < 0x800), 0xC0 | (cp >> 6), out)
+    out = np.where((cp >= 0x800) & (cp < 0x10000), 0xE0 | (cp >> 12), out)
+    out = np.where(cp >= 0x10000, 0xF0 | (cp >> 18), out)
+    return out.astype(np.int32)
+
+
+def _utf8_last_byte(cp: np.ndarray) -> np.ndarray:
+    """Last UTF-8 byte of each codepoint (vectorized)."""
+    return np.where(cp < 0x80, cp, 0x80 | (cp & 0x3F)).astype(np.int32)
+
+
+def _utf8_len(cp: np.ndarray) -> np.ndarray:
+    out = np.ones_like(cp)
+    out = np.where(cp >= 0x80, 2, out)
+    out = np.where(cp >= 0x800, 3, out)
+    out = np.where(cp >= 0x10000, 4, out)
+    return out.astype(np.int32)
+
+
+@dataclass
+class PackedBucket:
+    """One length bucket of the corpus, padded to ``width`` units."""
+
+    width: int
+    # Original corpus indices of the rows, shape (B,)
+    indices: np.ndarray
+    # Unit values (byte or codepoint), (B, W) int32, zero-padded
+    cp: np.ndarray
+    # First byte of each unit, (B, W) int32
+    first_byte: np.ndarray
+    # Last byte of the previous unit, -1 when none, (B, W) int32
+    prev_last_byte: np.ndarray
+    # Byte offset of each unit within its haystack, (B, W) int32
+    byte_off: np.ndarray
+    # Byte length of each unit, (B, W) int32
+    byte_len: np.ndarray
+    # Units per haystack, (B,) int32
+    n_units: np.ndarray
+    # Bytes per haystack, (B,) int32
+    n_bytes: np.ndarray
+
+    @property
+    def size(self) -> int:
+        return int(self.indices.shape[0])
+
+
+@dataclass
+class Corpus:
+    """A packed corpus ready for device matching."""
+
+    haystacks: List[str]
+    unicode: bool
+    buckets: List[PackedBucket]
+    # Indices of haystacks longer than the largest bucket (host path)
+    xl_indices: np.ndarray
+
+    def __len__(self) -> int:
+        return len(self.haystacks)
+
+
+def pack_corpus(
+    haystacks: Sequence[str],
+    unicode: bool,
+    bucket_widths: Sequence[int] = DEFAULT_BUCKETS,
+) -> Corpus:
+    n = len(haystacks)
+    if n == 0:
+        return Corpus(list(haystacks), unicode, [], np.zeros(0, np.int64))
+
+    if unicode:
+        # Unit = codepoint. UTF-32 round trip vectorizes the decode.
+        unit_counts = np.fromiter(
+            (len(h) for h in haystacks), dtype=np.int64, count=n
+        )
+        joined = "".join(haystacks)
+        cp_flat = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int32
+        )
+        first_flat = _utf8_lead_byte(cp_flat)
+        last_flat = _utf8_last_byte(cp_flat)
+        len_flat = _utf8_len(cp_flat)
+    else:
+        # Unit = byte.
+        data = [h.encode("utf-8") for h in haystacks]
+        unit_counts = np.fromiter((len(d) for d in data), dtype=np.int64, count=n)
+        joined_b = b"".join(data)
+        cp_flat = np.frombuffer(joined_b, dtype=np.uint8).astype(np.int32)
+        first_flat = cp_flat
+        last_flat = cp_flat
+        len_flat = np.ones_like(cp_flat)
+
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(unit_counts, out=starts[1:])
+    row_of_unit = np.repeat(np.arange(n), unit_counts)
+
+    # byte offsets within each haystack: global exclusive cumsum of unit byte
+    # lengths, rebased to each row's start
+    glob_off = np.zeros(cp_flat.shape[0] + 1, dtype=np.int64)
+    np.cumsum(len_flat, out=glob_off[1:])
+    byte_off_flat = glob_off[:-1] - glob_off[starts[:-1]][row_of_unit]
+
+    nbytes = glob_off[starts[1:]] - glob_off[starts[:-1]]
+
+    # previous unit's last byte, -1 at row starts
+    prev_last_flat = np.empty_like(last_flat)
+    if cp_flat.size:
+        prev_last_flat[1:] = last_flat[:-1]
+        prev_last_flat[0] = -1
+        prev_last_flat[starts[:-1][unit_counts > 0]] = -1
+
+    widths = sorted(set(int(w) for w in bucket_widths))
+    max_w = widths[-1]
+
+    buckets: List[PackedBucket] = []
+    assigned = np.full(n, -1, dtype=np.int64)
+    for bi, w in enumerate(widths):
+        lo = 0 if bi == 0 else widths[bi - 1]
+        sel = (unit_counts <= w) & (unit_counts > lo if bi else unit_counts >= 0)
+        assigned[sel] = bi
+    xl_mask = unit_counts > max_w
+    assigned[xl_mask] = -2
+
+    for bi, w in enumerate(widths):
+        rows = np.nonzero(assigned == bi)[0]
+        if rows.size == 0:
+            continue
+        b = rows.size
+        cp = np.zeros((b, w), np.int32)
+        first = np.zeros((b, w), np.int32)
+        prev = np.full((b, w), -1, np.int32)
+        boff = np.zeros((b, w), np.int32)
+        blen = np.zeros((b, w), np.int32)
+
+        counts = unit_counts[rows]
+        # flat gather indices for each row's units (fully vectorized)
+        total = int(counts.sum())
+        unit_rows = np.repeat(np.arange(b), counts)
+        cum = np.zeros(b + 1, dtype=np.int64)
+        np.cumsum(counts, out=cum[1:])
+        col_idx = np.arange(total, dtype=np.int64) - cum[:-1][unit_rows]
+        src = starts[rows][unit_rows] + col_idx
+
+        cp[unit_rows, col_idx] = cp_flat[src]
+        first[unit_rows, col_idx] = first_flat[src]
+        prev[unit_rows, col_idx] = prev_last_flat[src]
+        boff[unit_rows, col_idx] = byte_off_flat[src]
+        blen[unit_rows, col_idx] = len_flat[src]
+
+        buckets.append(
+            PackedBucket(
+                width=w,
+                indices=rows.astype(np.int64),
+                cp=cp,
+                first_byte=first,
+                prev_last_byte=prev,
+                byte_off=boff,
+                byte_len=blen,
+                n_units=counts.astype(np.int32),
+                n_bytes=nbytes[rows].astype(np.int32),
+            )
+        )
+
+    xl = np.nonzero(xl_mask)[0].astype(np.int64)
+    return Corpus(list(haystacks), unicode, buckets, xl)

@@ -1,0 +1,327 @@
+"""Per-pattern match engines.
+
+``FuzzyEngine`` drives packed corpus buckets through the fused device
+pipeline (ops/fuzzy.py) and falls back to the host oracle for rows the
+device path does not cover: haystacks longer than the largest bucket and
+trimmed windows beyond MAX_HAYSTACK_LEN (the greedy path — non-hot by
+design, exactly as in the reference where it exists to bound the DP matrix,
+src/smith_waterman/greedy.rs:1-4).
+
+``LiteralEngine`` implements exact/prefix/suffix/substring matching
+(reference: src/literal/algo.rs) through the batched device op with a host
+oracle fallback.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .config import MAX_HAYSTACK_LEN, Config, Matching, U16_MAX, sat_add_u16
+from .corpus import Corpus, pack_corpus
+from .oracle import (
+    literal_find,
+    make_needle_units,
+    match_greedy,
+    prefilter_window,
+    sw_indices,
+    sw_score,
+    tokenize,
+)
+from .oracle.smith_waterman import match_end_col, sw_matrices
+from .types import Match, MatchIndices
+
+
+class MatchResult:
+    """Column-oriented per-haystack results for one pattern over a corpus."""
+
+    __slots__ = ("matched", "score", "exact", "end_col")
+
+    def __init__(self, n: int):
+        self.matched = np.zeros(n, dtype=bool)
+        self.score = np.zeros(n, dtype=np.int64)
+        self.exact = np.zeros(n, dtype=bool)
+        self.end_col = np.zeros(n, dtype=np.int64)
+
+
+class FuzzyEngine:
+    """Fuzzy (Smith-Waterman) matching for one needle + resolved config."""
+
+    def __init__(self, needle: str, config: Config, use_device: bool = True):
+        self.needle = needle
+        self.config = config
+        self.use_device = use_device
+        self.case_sensitive = config.casing.respects_case_for(needle)
+        self.unicode = config.unicode.respects_unicode_for(needle)
+        self.needle_bytes = needle.encode("utf-8")
+
+        # Overflow guard uses the row count the needle actually uses
+        # (reference: src/matcher/algo.rs:300-325)
+        rows = len(needle) if self.unicode else len(self.needle_bytes)
+        scoring = config.scoring
+        scoring.guard_against_score_overflow(
+            rows, scoring.max_per_char_bonus(), scoring.max_one_time_bonus()
+        )
+
+        self.units = make_needle_units(needle, self.unicode, self.case_sensitive)
+        self.min_haystack_len = (
+            max(len(needle) - config.max_typos, 0)
+            if config.max_typos is not None
+            else 0
+        )
+        self._device_args = None
+
+    # -- device path -------------------------------------------------------
+
+    def _device_needle(self):
+        if self._device_args is None:
+            import jax.numpy as jnp
+
+            from .ops.fuzzy import scoring_vector
+
+            self._device_args = (
+                jnp.asarray(np.array(self.units.orig, np.int32)),
+                jnp.asarray(np.array(self.units.flip, np.int32)),
+                scoring_vector(self.config.scoring),
+            )
+        return self._device_args
+
+    def match_corpus(self, corpus: Corpus) -> MatchResult:
+        assert corpus.unicode == self.unicode, "corpus packed for wrong unicode mode"
+        n = len(corpus)
+        out = MatchResult(n)
+        if not self.units.orig:
+            return out  # empty needles are handled by the Matcher's copy path
+
+        if self.use_device:
+            self._match_buckets_device(corpus, out)
+        else:
+            for bucket in corpus.buckets:
+                for i in bucket.indices:
+                    self._host_row(corpus.haystacks[int(i)], int(i), out)
+        for i in corpus.xl_indices:
+            self._host_row(corpus.haystacks[int(i)], int(i), out)
+        return out
+
+    def _match_buckets_device(self, corpus: Corpus, out: MatchResult) -> None:
+        import jax.numpy as jnp
+
+        from .ops.fuzzy import fuzzy_match_bucket
+
+        orig, flip, sc = self._device_needle()
+        no_prefilter = self.config.max_typos is None
+        typos = 0 if no_prefilter else int(self.config.max_typos)
+
+        for bucket in corpus.buckets:
+            matched, score, exact, end_col, needs_greedy, _ws, _we = [
+                np.asarray(x)
+                for x in fuzzy_match_bucket(
+                    jnp.asarray(bucket.cp),
+                    jnp.asarray(bucket.first_byte),
+                    jnp.asarray(bucket.prev_last_byte),
+                    jnp.asarray(bucket.byte_off),
+                    jnp.asarray(bucket.byte_len),
+                    jnp.asarray(bucket.n_units),
+                    jnp.asarray(bucket.n_bytes),
+                    orig,
+                    flip,
+                    sc,
+                    max_typos=typos,
+                    no_prefilter=no_prefilter,
+                )
+            ]
+            idx = bucket.indices
+            out.matched[idx] = matched
+            out.score[idx] = score
+            out.exact[idx] = exact
+            out.end_col[idx] = np.minimum(end_col, U16_MAX)
+            # Greedy rows: rescore on the host
+            for r in np.nonzero(needs_greedy)[0]:
+                self._host_row(corpus.haystacks[int(idx[r])], int(idx[r]), out)
+
+    # -- host path (oracle semantics) ---------------------------------------
+
+    def _host_pipeline(
+        self, haystack: str
+    ) -> Optional[Tuple[int, bool, int, int, int, bool]]:
+        """Shared host pipeline. Returns
+        (score, exact, end_col, wstart, wend, used_greedy) or None."""
+        data = haystack.encode("utf-8")
+        if len(data) < self.min_haystack_len:
+            return None
+
+        if self.config.max_typos is None:
+            matched, start, end = True, 0, len(data)
+        else:
+            hay = tokenize(data, self.unicode)
+            matched, start, end = prefilter_window(
+                self.units, hay, len(data), self.config.max_typos
+            )
+        if not matched:
+            return None
+
+        wstart = max(start - 1, 0)
+        include_exact = wstart == 0 and end == len(data)
+        include_prefix = wstart == 0
+        scoring = self.config.scoring
+
+        if end - wstart > MAX_HAYSTACK_LEN:
+            res = match_greedy(
+                self.needle_bytes,
+                data[wstart:end],
+                scoring,
+                self.case_sensitive,
+                include_prefix,
+            )
+            if res is None:
+                return (0, False, min(wstart, U16_MAX), wstart, end, True)
+            score, indices = res
+            end_col = min(indices[-1] if indices else 0, U16_MAX)
+            end_col = min(end_col + wstart, U16_MAX)
+            exact = include_exact and data[wstart:end] == self.needle_bytes
+            if exact:
+                score = sat_add_u16(score, scoring.exact_match_bonus)
+            return (score, exact, end_col, wstart, end, True)
+
+        win = tokenize(data, self.unicode, wstart, end)
+        H, _ = sw_matrices(self.units, win, scoring, include_prefix)
+        score = max(H[-1]) if H[-1] else 0
+        end_col = (
+            min(match_end_col(H, win), U16_MAX)
+            if score > 0
+            else min(wstart, U16_MAX)
+        )
+        exact = include_exact and data[wstart:end] == self.needle_bytes
+        if exact:
+            score = min(score + scoring.exact_match_bonus, U16_MAX)
+        return (score, exact, end_col, wstart, end, False)
+
+    def _host_row(self, haystack: str, index: int, out: MatchResult) -> None:
+        res = self._host_pipeline(haystack)
+        if res is None:
+            out.matched[index] = False
+            return
+        score, exact, end_col, _, _, _ = res
+        out.matched[index] = True
+        out.score[index] = score
+        out.exact[index] = exact
+        out.end_col[index] = end_col
+
+    def match_one(self, haystack: str, index: int) -> Optional[Match]:
+        res = self._host_pipeline(haystack)
+        if res is None:
+            return None
+        score, exact, end_col, _, _, _ = res
+        return Match(score=score, index=index, exact=exact, end_col=end_col)
+
+    def match_one_indices(self, haystack: str, index: int) -> Optional[MatchIndices]:
+        """Score + traceback indices (reference: src/matcher/algo.rs:196-296)."""
+        data = haystack.encode("utf-8")
+        if len(data) < self.min_haystack_len:
+            return None
+        if self.config.max_typos is None:
+            matched, start, end = True, 0, len(data)
+        else:
+            hay = tokenize(data, self.unicode)
+            matched, start, end = prefilter_window(
+                self.units, hay, len(data), self.config.max_typos
+            )
+        if not matched:
+            return None
+        wstart = max(start - 1, 0)
+        include_exact = wstart == 0 and end == len(data)
+        include_prefix = wstart == 0
+        scoring = self.config.scoring
+
+        if end - wstart > MAX_HAYSTACK_LEN:
+            res = match_greedy(
+                self.needle_bytes,
+                data[wstart:end],
+                scoring,
+                self.case_sensitive,
+                include_prefix,
+            )
+            if res is None:
+                return MatchIndices(score=0, index=index, exact=False, indices=[])
+            score, fwd = res
+            indices = [i + wstart for i in reversed(fwd)]
+        else:
+            win = tokenize(data, self.unicode, wstart, end)
+            score, indices = sw_indices(
+                self.units,
+                win,
+                scoring,
+                include_prefix,
+                self.config.max_typos,
+                haystack_start_pos=0,  # byte_off is already absolute
+            )
+        exact = include_exact and data[wstart:end] == self.needle_bytes
+        if exact:
+            score = min(score + scoring.exact_match_bonus, U16_MAX)
+        return MatchIndices(score=score, index=index, exact=exact, indices=indices)
+
+
+class LiteralEngine:
+    """Literal matching modes; max_typos is ignored
+    (reference: src/literal/mod.rs:1-8)."""
+
+    def __init__(self, needle: str, config: Config, use_device: bool = True):
+        self.needle = needle
+        self.config = config
+        self.use_device = use_device
+        self.case_sensitive = config.casing.respects_case_for(needle)
+        self.unicode = config.unicode.respects_unicode_for(needle)
+        self.needle_bytes = needle.encode("utf-8")
+        # Literal overflow guard (reference: src/literal/algo.rs:316-325)
+        s = config.scoring
+        max_bonus = min(
+            max(s.capitalization_bonus, s.delimiter_bonus) + s.matching_case_bonus,
+            U16_MAX,
+        )
+        s.guard_against_score_overflow(len(self.needle_bytes), max_bonus, 0)
+        self.min_haystack_len = 0
+
+    def match_one(self, haystack: str, index: int) -> Optional[Match]:
+        data = haystack.encode("utf-8")
+        res = literal_find(
+            self.needle,
+            data,
+            self.config.matching,
+            self.unicode,
+            self.case_sensitive,
+            self.config.scoring,
+        )
+        if res is None:
+            return None
+        pos, score = res
+        exact = pos == 0 and len(self.needle_bytes) == len(data)
+        end_col = min(max(pos + len(self.needle_bytes) - 1, 0), U16_MAX)
+        return Match(score=score, index=index, exact=exact, end_col=end_col)
+
+    def match_one_indices(self, haystack: str, index: int) -> Optional[MatchIndices]:
+        m = self.match_one(haystack, index)
+        if m is None:
+            return None
+        pos = m.end_col - len(self.needle_bytes) + 1
+        indices = list(range(pos + len(self.needle_bytes) - 1, pos - 1, -1))
+        return MatchIndices(
+            score=m.score, index=index, exact=m.exact, indices=indices
+        )
+
+    def match_corpus(self, corpus: Corpus) -> MatchResult:
+        out = MatchResult(len(corpus))
+        for i, h in enumerate(corpus.haystacks):
+            m = self.match_one(h, i)
+            if m is not None:
+                out.matched[i] = True
+                out.score[i] = m.score
+                out.exact[i] = m.exact
+                out.end_col[i] = m.end_col
+        return out
+
+
+def make_engine(needle: str, config: Config, use_device: bool = True):
+    if config.matching.is_fuzzy:
+        return FuzzyEngine(needle, config, use_device)
+    return LiteralEngine(needle, config, use_device)

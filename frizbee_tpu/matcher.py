@@ -1,0 +1,322 @@
+"""Matcher orchestration: pattern compilation, dispatch, multi-pattern
+composition, sorting, and the public matching APIs.
+
+Mirrors the reference's Matcher surface (reference: src/matcher/mod.rs:80-371,
+src/matcher/multi.rs) on top of the TPU batch engines. Where the reference
+dispatches to monomorphized SIMD backends, this build dispatches to jitted
+bucket kernels keyed on (bucket width, needle length, typo budget).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, List, Optional, Sequence, Union
+
+import numpy as np
+
+from .config import Config, SortStrategy, sat_add_u16
+from .corpus import Corpus, pack_corpus
+from .engine import MatchResult, make_engine
+from .pattern import Pattern
+from .types import Match, MatchIndices
+
+PatternLike = Union[str, Pattern]
+
+
+class _CompiledPattern:
+    __slots__ = ("negated", "needle", "config", "engine")
+
+    def __init__(self, source: Pattern, config: Config, use_device: bool):
+        resolved = source.config.resolve(config)
+        self.negated = source.negated
+        self.needle = source.needle
+        self.config = resolved
+        self.engine = make_engine(source.needle, resolved, use_device)
+
+
+def _as_pattern(p: PatternLike) -> Pattern:
+    if isinstance(p, Pattern):
+        return p
+    return Pattern.literal(str(p))
+
+
+def sort_matches(matches: list, strategy: SortStrategy, by_score: bool = True) -> list:
+    """Order results per the sort strategy. (score, index) is a total order,
+    so this reproduces the reference's reverse + stable radix exactly
+    (reference: src/matcher/mod.rs:212-222, src/sort.rs:6-40)."""
+    if strategy.is_reversed:
+        matches = list(reversed(matches))
+    if by_score and strategy.is_by_score:
+        if strategy is SortStrategy.SCORE_THEN_INDEX_ASC:
+            matches = sorted(matches, key=lambda m: (-m.score, m.index))
+        else:
+            matches = sorted(matches, key=lambda m: (-m.score, -m.index))
+    return matches
+
+
+class Matcher:
+    """Compile once, match many (reference: src/matcher/mod.rs:80-111).
+
+    ``use_device=False`` selects the pure-host oracle engines (useful for
+    differential testing; identical semantics).
+    """
+
+    def __init__(
+        self,
+        pattern: Union[PatternLike, Sequence[Pattern]],
+        config: Optional[Config] = None,
+        use_device: bool = True,
+    ):
+        self._config = config or Config()
+        self._use_device = use_device
+        if isinstance(pattern, (list, tuple)):
+            self._raw_patterns = [_as_pattern(p) for p in pattern]
+        else:
+            self._raw_patterns = [_as_pattern(pattern)]
+        self._compiled = self._build()
+
+    @classmethod
+    def from_query(cls, query: str, config: Optional[Config] = None, **kw) -> "Matcher":
+        return cls(Pattern.parse_query(query), config, **kw)
+
+    @classmethod
+    def from_patterns(
+        cls, patterns: Sequence[Pattern], config: Optional[Config] = None, **kw
+    ) -> "Matcher":
+        return cls(list(patterns), config, **kw)
+
+    # -- config management ---------------------------------------------------
+
+    @property
+    def patterns(self) -> List[Pattern]:
+        return list(self._raw_patterns)
+
+    @property
+    def config(self) -> Config:
+        return self._config
+
+    def set_config(self, config: Config) -> None:
+        if config == self._config:
+            return
+        self._config = config
+        self._compiled = self._build()
+
+    def set_pattern(self, pattern: PatternLike) -> None:
+        self.set_patterns([_as_pattern(pattern)])
+
+    def set_patterns(self, patterns: Sequence[Pattern]) -> None:
+        patterns = [_as_pattern(p) for p in patterns]
+        if patterns == self._raw_patterns:
+            return
+        self._raw_patterns = patterns
+        self._compiled = self._build()
+
+    def _build(self) -> List[_CompiledPattern]:
+        return [
+            _CompiledPattern(p, self._config, self._use_device)
+            for p in self._raw_patterns
+            if p.needle
+        ]
+
+    # -- core batch path -------------------------------------------------------
+
+    def _pack(self, haystacks: Sequence[str], unicode: bool) -> Corpus:
+        return pack_corpus(haystacks, unicode=unicode)
+
+    def _match_result(self, haystacks: Sequence[str]) -> MatchResult:
+        """Combined per-haystack result across all patterns, in input order.
+
+        Multi-pattern composition: all non-negated must match (scores sum,
+        exact ORs, end_col maxes), no negated may match
+        (reference: src/matcher/multi.rs:84-152)."""
+        n = len(haystacks)
+        combined: Optional[MatchResult] = None
+        corpora = {}
+
+        def corpus_for(unicode: bool) -> Corpus:
+            if unicode not in corpora:
+                corpora[unicode] = self._pack(haystacks, unicode)
+            return corpora[unicode]
+
+        for cp in self._compiled:
+            res = cp.engine.match_corpus(corpus_for(cp.engine.unicode))
+            if cp.negated:
+                if combined is None:
+                    combined = MatchResult(n)
+                    combined.matched[:] = True
+                combined.matched &= ~res.matched
+            else:
+                if combined is None:
+                    combined = MatchResult(n)
+                    combined.matched[:] = True
+                combined.matched &= res.matched
+                combined.score = np.minimum(
+                    combined.score + res.score * res.matched, 0xFFFF
+                )
+                combined.exact |= res.exact & res.matched
+                combined.end_col = np.maximum(
+                    combined.end_col, res.end_col * res.matched
+                )
+        if combined is None:
+            combined = MatchResult(n)  # no patterns: handled by caller
+        return combined
+
+    # -- public APIs -----------------------------------------------------------
+
+    def match_list(self, haystacks: Sequence[str]) -> List[Match]:
+        """Batch matching; the most performant path
+        (reference: src/matcher/mod.rs:205-222)."""
+        if not self._compiled:
+            matches = [Match.from_index(i) for i in range(len(haystacks))]
+            return sort_matches(matches, self._config.sort, by_score=False)
+
+        res = self._match_result(haystacks)
+        idxs = np.nonzero(res.matched)[0]
+        matches = [
+            Match(
+                score=int(res.score[i]),
+                index=int(i),
+                exact=bool(res.exact[i]),
+                end_col=int(res.end_col[i]),
+            )
+            for i in idxs
+        ]
+        return sort_matches(matches, self._config.sort)
+
+    def match_list_indices(self, haystacks: Sequence[str]) -> List[MatchIndices]:
+        """Batch matching with matched-character indices; not the hot path
+        (reference: src/matcher/mod.rs:229-270)."""
+        if not self._compiled:
+            matches = [MatchIndices.from_index(i) for i in range(len(haystacks))]
+            if self._config.sort.is_reversed:
+                matches.reverse()
+            return matches
+        out: List[MatchIndices] = []
+        for i, h in enumerate(haystacks):
+            m = self.match_one_indices(h, i)
+            if m is not None:
+                out.append(m)
+        if self._config.sort.is_reversed:
+            out.reverse()
+        if self._config.sort.is_by_score:
+            out.sort(key=lambda m: -m.score)  # stable, score only
+        return out
+
+    def match_one(self, haystack: str, index: int = 0) -> Optional[Match]:
+        if not self._compiled:
+            return Match.from_index(index)
+        combined = Match.from_index(index)
+        for cp in self._compiled:
+            m = cp.engine.match_one(haystack, index)
+            if cp.negated:
+                if m is not None:
+                    return None
+            else:
+                if m is None:
+                    return None
+                combined.score = sat_add_u16(combined.score, m.score)
+                combined.exact |= m.exact
+                combined.end_col = max(combined.end_col, m.end_col)
+        return combined
+
+    def match_one_indices(
+        self, haystack: str, index: int = 0
+    ) -> Optional[MatchIndices]:
+        if not self._compiled:
+            return MatchIndices.from_index(index)
+        combined = MatchIndices.from_index(index)
+        for cp in self._compiled:
+            if cp.negated:
+                if cp.engine.match_one(haystack, index) is not None:
+                    return None
+            else:
+                m = cp.engine.match_one_indices(haystack, index)
+                if m is None:
+                    return None
+                combined.score = sat_add_u16(combined.score, m.score)
+                combined.exact |= m.exact
+                combined.indices.extend(m.indices)
+        # reverse order, deduped across patterns
+        # (reference: src/matcher/multi.rs:74-77)
+        combined.indices = sorted(set(combined.indices), reverse=True)
+        return combined
+
+    def match_iter(self, haystacks: Iterable[str]) -> Iterator[Match]:
+        for i, h in enumerate(haystacks):
+            m = self.match_one(h, i)
+            if m is not None:
+                yield m
+
+    def match_iter_indices(self, haystacks: Iterable[str]) -> Iterator[MatchIndices]:
+        for i, h in enumerate(haystacks):
+            m = self.match_one_indices(h, i)
+            if m is not None:
+                yield m
+
+    def match_list_parallel(
+        self, haystacks: Sequence[str], shards: int
+    ) -> List[Match]:
+        """Sharded matching with a deterministic merge; results are identical
+        to ``match_list`` (reference: src/matcher/parallel.rs:18-89). The
+        device-mesh version of this path lives in ``frizbee_tpu.parallel``."""
+        if shards <= 0:
+            raise ValueError("shards must be positive")
+        shards = max(min(shards, -(-len(haystacks) // 2000)), 1)
+        if not haystacks or not self._compiled or shards == 1:
+            return self.match_list(haystacks)
+
+        chunk = -(-len(haystacks) // shards)
+        runs: List[List[Match]] = []
+        for s in range(0, len(haystacks), chunk):
+            sub = haystacks[s : s + chunk]
+            res = self._match_result(sub)
+            idxs = np.nonzero(res.matched)[0]
+            run = [
+                Match(
+                    score=int(res.score[i]),
+                    index=int(i) + s,
+                    exact=bool(res.exact[i]),
+                    end_col=int(res.end_col[i]),
+                )
+                for i in idxs
+            ]
+            runs.append(sort_matches(run, self._config.sort))
+        return k_merge(runs, self._config.sort)
+
+
+def k_merge(runs: List[List[Match]], strategy: SortStrategy) -> List[Match]:
+    """Merge pre-sorted runs (reference: src/k_merge.rs). Because the merge
+    key includes the unique index, the result is the unique total order —
+    a flat merge via sort reproduces the loser-heap exactly."""
+    merged = [m for run in runs for m in run]
+    if strategy is SortStrategy.SCORE_THEN_INDEX_ASC:
+        merged.sort(key=lambda m: (-m.score, m.index))
+    elif strategy is SortStrategy.SCORE_THEN_INDEX_DESC:
+        merged.sort(key=lambda m: (-m.score, -m.index))
+    elif strategy is SortStrategy.INDEX_ASC:
+        merged.sort(key=lambda m: m.index)
+    else:
+        merged.sort(key=lambda m: -m.index)
+    return merged
+
+
+def match_list(
+    needle: str, haystacks: Sequence[str], config: Optional[Config] = None, **kw
+) -> List[Match]:
+    """One-shot convenience API (reference: src/lib.rs:60-68)."""
+    return Matcher(needle, config, **kw).match_list(haystacks)
+
+
+def match_list_indices(
+    needle: str, haystacks: Sequence[str], config: Optional[Config] = None, **kw
+) -> List[MatchIndices]:
+    return Matcher(needle, config, **kw).match_list_indices(haystacks)
+
+
+def match_list_parallel(
+    needle: str,
+    haystacks: Sequence[str],
+    shards: int,
+    config: Optional[Config] = None,
+    **kw,
+) -> List[Match]:
+    return Matcher(needle, config, **kw).match_list_parallel(haystacks, shards)
