@@ -73,6 +73,24 @@ class PackedBucket:
     def size(self) -> int:
         return int(self.indices.shape[0])
 
+    def device_arrays(self):
+        """Device-resident copies of the packed arrays (cached). Order matches
+        the ``fuzzy_pipeline`` signature; last entry is the row indices."""
+        if not hasattr(self, "_device"):
+            import jax.numpy as jnp
+
+            self._device = (
+                jnp.asarray(self.cp),
+                jnp.asarray(self.first_byte),
+                jnp.asarray(self.prev_last_byte),
+                jnp.asarray(self.byte_off),
+                jnp.asarray(self.byte_len),
+                jnp.asarray(self.n_units),
+                jnp.asarray(self.n_bytes),
+                jnp.asarray(self.indices.astype(np.int32)),
+            )
+        return self._device
+
 
 @dataclass
 class Corpus:
@@ -86,6 +104,16 @@ class Corpus:
 
     def __len__(self) -> int:
         return len(self.haystacks)
+
+    def device_xl_mask(self):
+        """Device-resident (n,) bool mask of XL (host-path) rows, cached."""
+        if not hasattr(self, "_xl_mask"):
+            import jax.numpy as jnp
+
+            m = np.zeros(len(self.haystacks), dtype=bool)
+            m[self.xl_indices] = True
+            self._xl_mask = jnp.asarray(m)
+        return self._xl_mask
 
 
 def pack_corpus(

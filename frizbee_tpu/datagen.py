@@ -1,0 +1,152 @@
+"""Synthetic benchmark corpus generator.
+
+Replicates the semantics of the reference's bench generator
+(reference: benches/match_list/generate.rs): each haystack is None / Partial
+/ Full matching with configured probabilities, lengths drawn from a normal
+distribution, filler characters are alphanumerics that never appear in the
+needle (case-insensitively), Partial rows splice a random order-preserving
+subset of needle characters into the filler, Full rows contain the whole
+needle in order. The RNG differs (NumPy PCG64 vs rust StdRng) so outputs are
+not byte-identical, but the statistical profile — which is what the
+benchmarks measure — is the same.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+_ALPHANUMERIC = np.array(
+    [ord(c) for c in
+     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"],
+    dtype=np.uint8,
+)
+
+
+@dataclass
+class HaystackGenerationOptions:
+    seed: int = 42
+    partial_match_percentage: float = 0.0
+    match_percentage: float = 0.0
+    median_length: int = 16
+    std_dev_length: int = 4
+    num_samples: int = 100_000
+
+
+def generate_haystack(needle: str, options: HaystackGenerationOptions) -> List[str]:
+    rng = np.random.default_rng(options.seed)
+    n = options.num_samples
+    needle_l = needle.lower()
+
+    filler_pool = np.array(
+        [b for b in _ALPHANUMERIC if chr(b).lower() not in needle_l],
+        dtype=np.uint8,
+    )
+    needle_arr = np.frombuffer(needle.encode("utf-8"), dtype=np.uint8)
+
+    lengths = np.maximum(
+        np.abs(np.round(rng.normal(options.median_length,
+                                   options.std_dev_length, n))), 1
+    ).astype(np.int64)
+    r = rng.random(n)
+    is_partial = r < options.partial_match_percentage
+    is_full = (~is_partial) & (
+        r < options.partial_match_percentage + options.match_percentage
+    )
+
+    # Bulk filler bytes for everything; rows are carved out of one stream
+    total = int(lengths.sum())
+    filler_flat = rng.choice(filler_pool, size=total)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offs[1:])
+
+    out: List[str] = []
+    nl = len(needle_arr)
+    for i in range(n):
+        length = int(lengths[i])
+        row = filler_flat[offs[i]:offs[i + 1]]
+        if is_full[i]:
+            # whole needle in order, extra filler joined randomly
+            extra = row[: max(length - nl, 0)]
+            row = _join_randomly(needle_arr, extra, rng)
+        elif is_partial[i]:
+            # random order-preserving subset of needle chars, spliced in
+            match_count = int(rng.integers(0, min(length, nl))) if min(
+                length, nl
+            ) > 0 else 0
+            idx = np.sort(rng.permutation(nl)[:match_count])
+            row = _join_randomly(needle_arr[idx], row[: length - match_count],
+                                 rng)
+        out.append(row.tobytes().decode("ascii"))
+    return out
+
+
+def _join_randomly(a: np.ndarray, b: np.ndarray, rng) -> np.ndarray:
+    """Random interleave preserving the relative order of both inputs
+    (reference: benches/match_list/generate.rs join_randomly)."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return b
+    if lb == 0:
+        return a
+    take_a = np.zeros(la + lb, dtype=bool)
+    take_a[rng.permutation(la + lb)[:la]] = True
+    out = np.empty(la + lb, dtype=a.dtype)
+    out[take_a] = a
+    out[~take_a] = b
+    return out
+
+
+def partial_match_corpus(median_length: int = 64,
+                         num_samples: int = 100_000,
+                         seed: int = 42) -> List[str]:
+    """The reference's 'Partial Match' dataset: 5% full, 20% partial
+    (reference: BENCHMARKS.md:107-118)."""
+    return generate_haystack(
+        "deadbeef",
+        HaystackGenerationOptions(
+            seed=seed,
+            partial_match_percentage=0.20,
+            match_percentage=0.05,
+            median_length=median_length,
+            std_dev_length=median_length // 4,
+            num_samples=num_samples,
+        ),
+    )
+
+
+def all_match_corpus(median_length: int = 64,
+                     num_samples: int = 100_000,
+                     seed: int = 42) -> List[str]:
+    """The reference's 'All Match' dataset (reference: BENCHMARKS.md:127-137)."""
+    return generate_haystack(
+        "deadbeef",
+        HaystackGenerationOptions(
+            seed=seed,
+            partial_match_percentage=0.0,
+            match_percentage=1.0,
+            median_length=median_length,
+            std_dev_length=median_length // 4,
+            num_samples=num_samples,
+        ),
+    )
+
+
+def no_match_corpus(median_length: int = 64,
+                    num_samples: int = 100_000,
+                    seed: int = 42,
+                    partial: float = 0.0) -> List[str]:
+    """The reference's 'No Match' datasets (reference: BENCHMARKS.md:147-185)."""
+    return generate_haystack(
+        "deadbeef",
+        HaystackGenerationOptions(
+            seed=seed,
+            partial_match_percentage=partial,
+            match_percentage=0.0,
+            median_length=median_length,
+            std_dev_length=median_length // 4,
+            num_samples=num_samples,
+        ),
+    )

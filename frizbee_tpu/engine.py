@@ -105,8 +105,6 @@ class FuzzyEngine:
         return out
 
     def _match_buckets_device(self, corpus: Corpus, out: MatchResult) -> None:
-        import jax.numpy as jnp
-
         from .ops.fuzzy import fuzzy_match_bucket
 
         orig, flip, sc = self._device_needle()
@@ -114,16 +112,11 @@ class FuzzyEngine:
         typos = 0 if no_prefilter else int(self.config.max_typos)
 
         for bucket in corpus.buckets:
+            dev = bucket.device_arrays()
             matched, score, exact, end_col, needs_greedy, _ws, _we = [
                 np.asarray(x)
                 for x in fuzzy_match_bucket(
-                    jnp.asarray(bucket.cp),
-                    jnp.asarray(bucket.first_byte),
-                    jnp.asarray(bucket.prev_last_byte),
-                    jnp.asarray(bucket.byte_off),
-                    jnp.asarray(bucket.byte_len),
-                    jnp.asarray(bucket.n_units),
-                    jnp.asarray(bucket.n_bytes),
+                    *dev[:7],
                     orig,
                     flip,
                     sc,

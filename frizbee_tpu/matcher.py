@@ -122,7 +122,9 @@ class Matcher:
     def _pack(self, haystacks: Sequence[str], unicode: bool) -> Corpus:
         return pack_corpus(haystacks, unicode=unicode)
 
-    def _match_result(self, haystacks: Sequence[str]) -> MatchResult:
+    def _match_result(
+        self, haystacks: Union[Sequence[str], Corpus]
+    ) -> MatchResult:
         """Combined per-haystack result across all patterns, in input order.
 
         Multi-pattern composition: all non-negated must match (scores sum,
@@ -131,6 +133,9 @@ class Matcher:
         n = len(haystacks)
         combined: Optional[MatchResult] = None
         corpora = {}
+        if isinstance(haystacks, Corpus):
+            corpora[haystacks.unicode] = haystacks
+            haystacks = haystacks.haystacks
 
         def corpus_for(unicode: bool) -> Corpus:
             if unicode not in corpora:
@@ -162,25 +167,170 @@ class Matcher:
 
     # -- public APIs -----------------------------------------------------------
 
-    def match_list(self, haystacks: Sequence[str]) -> List[Match]:
+    def _fused_supported(self) -> bool:
+        """The one-call device path covers: all patterns fuzzy, device
+        engines, one shared unicode packing."""
+        if not self._use_device or not self._compiled:
+            return False
+        from .engine import FuzzyEngine
+
+        modes = set()
+        for cp in self._compiled:
+            if not isinstance(cp.engine, FuzzyEngine):
+                return False
+            if not cp.engine.units.orig:
+                return False
+            modes.add(cp.engine.unicode)
+        return len(modes) == 1
+
+    def _fused_match_arrays(self, corpus: Corpus) -> tuple:
+        """One device call for the whole query; two fetches back.
+        See ops/batch.py for the fused program."""
+        from .ops.batch import fused_match_sorted
+
+        strategy = self._config.sort
+        buckets = tuple(b.device_arrays() for b in corpus.buckets)
+        patterns = tuple(cp.engine._device_needle() for cp in self._compiled)
+        statics = tuple(
+            (
+                0 if cp.config.max_typos is None else int(cp.config.max_typos),
+                cp.config.max_typos is None,
+                cp.negated,
+            )
+            for cp in self._compiled
+        )
+        out, count = fused_match_sorted(
+            buckets,
+            patterns,
+            corpus.device_xl_mask(),
+            n=len(corpus),
+            pattern_statics=statics,
+            sort_by_score=strategy.is_by_score,
+        )
+        count = int(count)
+        rows = np.asarray(out[:count])  # single compact fetch
+        index = rows[:, 0].astype(np.int64)
+        score = rows[:, 1].astype(np.int64)
+        exact = rows[:, 2].astype(bool)
+        end_col = rows[:, 3].astype(np.int64)
+        greedy = rows[:, 4].astype(bool)
+
+        resort = False
+        # Greedy rows (trimmed window > DP cap): rescore on the host
+        if greedy.any():
+            keep = np.ones(count, dtype=bool)
+            for j in np.nonzero(greedy)[0]:
+                m = self.match_one(corpus.haystacks[int(index[j])], int(index[j]))
+                if m is None:
+                    keep[j] = False
+                else:
+                    score[j], exact[j], end_col[j] = m.score, m.exact, m.end_col
+            index, score, exact, end_col = (
+                index[keep], score[keep], exact[keep], end_col[keep]
+            )
+            resort = True
+        # XL rows (longer than the largest bucket): full host pipeline
+        if len(corpus.xl_indices):
+            extra = []
+            for i in corpus.xl_indices:
+                m = self.match_one(corpus.haystacks[int(i)], int(i))
+                if m is not None:
+                    extra.append((m.index, m.score, m.exact, m.end_col))
+            if extra:
+                e = np.array(extra, dtype=np.int64)
+                index = np.concatenate([index, e[:, 0]])
+                score = np.concatenate([score, e[:, 1]])
+                exact = np.concatenate([exact, e[:, 2].astype(bool)])
+                end_col = np.concatenate([end_col, e[:, 3]])
+                resort = True
+
+        if resort:
+            if strategy.is_by_score:
+                order = np.lexsort((index, -score))
+            else:
+                order = np.argsort(index, kind="stable")
+            index, score, exact, end_col = (
+                index[order], score[order], exact[order], end_col[order]
+            )
+        if strategy is SortStrategy.SCORE_THEN_INDEX_DESC:
+            order = np.lexsort((-index, -score))
+            index, score, exact, end_col = (
+                index[order], score[order], exact[order], end_col[order]
+            )
+        elif strategy is SortStrategy.INDEX_DESC:
+            index, score, exact, end_col = (
+                index[::-1], score[::-1], exact[::-1], end_col[::-1]
+            )
+        return index, score, exact, end_col
+
+    def match_arrays(
+        self, haystacks: Union[Sequence[str], Corpus]
+    ) -> tuple:
+        """Column-oriented batch matching: the zero-Python-overhead core.
+
+        Returns (index, score, exact, end_col) numpy arrays of all matching
+        haystacks, ordered by the configured sort strategy — the exact
+        content of the reference's sorted ``Vec<Match>`` (reference:
+        src/matcher/mod.rs:205-222) as columns instead of structs. Accepts a
+        pre-packed (device-resident) ``Corpus`` to amortize packing across
+        queries."""
+        n = len(haystacks)
+        if not self._compiled:
+            idx = np.arange(n, dtype=np.int64)
+            if self._config.sort.is_reversed:
+                idx = idx[::-1]
+            z = np.zeros(n, dtype=np.int64)
+            return idx, z, z.astype(bool), z
+
+        if self._fused_supported():
+            unicode = self._compiled[0].engine.unicode
+            if isinstance(haystacks, Corpus):
+                corpus = (
+                    haystacks
+                    if haystacks.unicode == unicode
+                    else self._pack(haystacks.haystacks, unicode)
+                )
+            else:
+                corpus = self._pack(haystacks, unicode)
+            return self._fused_match_arrays(corpus)
+
+        res = self._match_result(haystacks)
+        idxs = np.nonzero(res.matched)[0]
+        score = res.score[idxs]
+        strategy = self._config.sort
+        if strategy is SortStrategy.SCORE_THEN_INDEX_ASC:
+            order = np.lexsort((idxs, -score))
+        elif strategy is SortStrategy.SCORE_THEN_INDEX_DESC:
+            order = np.lexsort((-idxs, -score))
+        elif strategy is SortStrategy.INDEX_ASC:
+            order = np.arange(len(idxs))
+        else:
+            order = np.arange(len(idxs))[::-1]
+        idxs = idxs[order]
+        return (
+            idxs,
+            score[order],
+            res.exact[idxs],
+            res.end_col[idxs],
+        )
+
+    def match_list(self, haystacks: Union[Sequence[str], Corpus]) -> List[Match]:
         """Batch matching; the most performant path
         (reference: src/matcher/mod.rs:205-222)."""
         if not self._compiled:
             matches = [Match.from_index(i) for i in range(len(haystacks))]
             return sort_matches(matches, self._config.sort, by_score=False)
 
-        res = self._match_result(haystacks)
-        idxs = np.nonzero(res.matched)[0]
-        matches = [
+        index, score, exact, end_col = self.match_arrays(haystacks)
+        return [
             Match(
-                score=int(res.score[i]),
-                index=int(i),
-                exact=bool(res.exact[i]),
-                end_col=int(res.end_col[i]),
+                score=int(score[j]),
+                index=int(index[j]),
+                exact=bool(exact[j]),
+                end_col=int(end_col[j]),
             )
-            for i in idxs
+            for j in range(len(index))
         ]
-        return sort_matches(matches, self._config.sort)
 
     def match_list_indices(self, haystacks: Sequence[str]) -> List[MatchIndices]:
         """Batch matching with matched-character indices; not the hot path

@@ -279,11 +279,7 @@ def sw_score_bucket(
     return score.astype(jnp.int32), end_col.astype(jnp.int32)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("max_typos", "no_prefilter"),
-)
-def fuzzy_match_bucket(
+def fuzzy_pipeline(
     cp,
     first_byte,
     prev_last_byte,
@@ -340,3 +336,10 @@ def fuzzy_match_bucket(
     score = jnp.where(exact, jnp.minimum(score + sc[7], 0xFFFF), score)
 
     return matched, score, exact, end_col, needs_greedy, wstart, wend
+
+
+# Jitted entry point for the single-device engine; the distributed path calls
+# ``fuzzy_pipeline`` directly inside shard_map (frizbee_tpu/parallel.py).
+fuzzy_match_bucket = jax.jit(
+    fuzzy_pipeline, static_argnames=("max_typos", "no_prefilter")
+)

@@ -1,0 +1,66 @@
+"""Mesh-sharded matching: parallel == sequential property.
+
+Ports the reference's core parallel property (reference:
+tests/api_properties.rs:79-114): sharded matching with a deterministic merge
+must reproduce the sequential result exactly when score-sorted.
+"""
+
+import numpy as np
+import pytest
+
+from frizbee_tpu.config import Config
+from frizbee_tpu.corpus import pack_corpus
+from frizbee_tpu.datagen import partial_match_corpus
+from frizbee_tpu.engine import FuzzyEngine
+from frizbee_tpu.matcher import Matcher
+
+
+@pytest.fixture(scope="module")
+def corpus_small():
+    hay = partial_match_corpus(median_length=20, num_samples=400, seed=3)
+    return hay
+
+
+def test_mesh_topk_equals_sequential(corpus_small):
+    import jax
+
+    from frizbee_tpu.parallel import make_mesh, match_corpus_sharded
+
+    hay = corpus_small
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    mesh = make_mesh(min(8, len(jax.devices())))
+    engine = FuzzyEngine("deadbeef", Config())
+    corpus = pack_corpus(hay, unicode=False)
+    k = 32
+    index, score, exact, end_col = match_corpus_sharded(corpus, engine, mesh, k=k)
+
+    seq = Matcher("deadbeef", Config()).match_list(hay)[:k]
+    assert [m.index for m in seq] == list(index[: len(seq)])
+    assert [m.score for m in seq] == list(score[: len(seq)])
+    assert [m.exact for m in seq] == list(exact[: len(seq)])
+
+
+def test_mesh_varied_shard_counts(corpus_small):
+    import jax
+
+    from frizbee_tpu.parallel import make_mesh, match_corpus_sharded
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multiple devices")
+    engine = FuzzyEngine("dead", Config(max_typos=1))
+    corpus = pack_corpus(corpus_small, unicode=False)
+    seq = Matcher("dead", Config(max_typos=1)).match_list(corpus_small)[:16]
+    for n in (2, 4):
+        mesh = make_mesh(n)
+        index, score, _, _ = match_corpus_sharded(corpus, engine, mesh, k=16)
+        assert [m.index for m in seq] == list(index[: len(seq)])
+        assert [m.score for m in seq] == list(score[: len(seq)])
+
+
+def test_shard_chunked_matcher_parallel(corpus_small):
+    """Host-chunked parallel API agrees with sequential (all strategies)."""
+    m = Matcher("dead", Config())
+    seq = m.match_list(corpus_small)
+    par = m.match_list_parallel(corpus_small, 3)
+    assert seq == par
