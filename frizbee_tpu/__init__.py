@@ -8,6 +8,8 @@ sorted/merged results — scored thousands of haystacks at a time on TPU
 vector units, sharded data-parallel across device meshes.
 """
 
+import os as _os
+
 from .config import (
     CaseMatching,
     Config,
@@ -20,6 +22,34 @@ from .pattern import Pattern, PatternConfig
 from .types import Match, MatchIndices
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache():
+    """Persist compiled XLA/Mosaic executables across processes. Kernel
+    compiles can take minutes on remote-compile TPU setups; the cache makes
+    every process after the first start in seconds. Opt out with
+    FRIZBEE_TPU_NO_CACHE=1 or point FRIZBEE_TPU_CACHE_DIR elsewhere."""
+    if _os.environ.get("FRIZBEE_TPU_NO_CACHE") == "1":
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.environ.get(
+                    "FRIZBEE_TPU_CACHE_DIR",
+                    _os.path.expanduser("~/.cache/frizbee_tpu_xla"),
+                ),
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()
 
 __all__ = [
     "CaseMatching",

@@ -23,6 +23,9 @@ import numpy as np
 # where windows larger than the DP cap fall back to the greedy matcher
 # (reference: src/smith_waterman/algo/mod.rs:18).
 DEFAULT_BUCKETS: Tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024)
+# ASCII corpora pack to lane-aligned widths so the fused Pallas kernels
+# (ops/ascii_kernel.py) see 128-multiple rows.
+ASCII_BUCKETS: Tuple[int, ...] = (128, 256, 512, 1024)
 
 
 def _utf8_lead_byte(cp: np.ndarray) -> np.ndarray:
@@ -91,6 +94,19 @@ class PackedBucket:
             )
         return self._device
 
+    def device_arrays_ascii(self):
+        """Kernel-path device arrays: (cp int8 (B,W), n_units (B,1) i32,
+        indices (B,) i32). Only meaningful for byte-unit (ASCII) packing."""
+        if not hasattr(self, "_device_ascii"):
+            import jax.numpy as jnp
+
+            self._device_ascii = (
+                jnp.asarray(self.cp.astype(np.uint8).astype(np.int8)),
+                jnp.asarray(self.n_units.astype(np.int32)[:, None]),
+                jnp.asarray(self.indices.astype(np.int32)),
+            )
+        return self._device_ascii
+
 
 @dataclass
 class Corpus:
@@ -119,8 +135,10 @@ class Corpus:
 def pack_corpus(
     haystacks: Sequence[str],
     unicode: bool,
-    bucket_widths: Sequence[int] = DEFAULT_BUCKETS,
+    bucket_widths: Optional[Sequence[int]] = None,
 ) -> Corpus:
+    if bucket_widths is None:
+        bucket_widths = DEFAULT_BUCKETS if unicode else ASCII_BUCKETS
     n = len(haystacks)
     if n == 0:
         return Corpus(list(haystacks), unicode, [], np.zeros(0, np.int64))
@@ -177,6 +195,24 @@ def pack_corpus(
         assigned[sel] = bi
     xl_mask = unit_counts > max_w
     assigned[xl_mask] = -2
+
+    # Consolidate sparse buckets into the next non-empty larger one: each
+    # bucket costs a kernel instantiation (minutes of compile on
+    # remote-compile TPU setups) and a dispatch, so only population-heavy
+    # widths earn their keep. Padding waste for the merged rows is bounded
+    # by the 2x width step.
+    min_rows = max(1024, n // 32)
+    counts_per = [int(np.sum(assigned == bi)) for bi in range(len(widths))]
+    for bi in range(len(widths) - 1):
+        if 0 < counts_per[bi] < min_rows:
+            nxt = next(
+                (j for j in range(bi + 1, len(widths)) if counts_per[j] > 0),
+                None,
+            )
+            if nxt is not None:
+                assigned[assigned == bi] = nxt
+                counts_per[nxt] += counts_per[bi]
+                counts_per[bi] = 0
 
     for bi, w in enumerate(widths):
         rows = np.nonzero(assigned == bi)[0]

@@ -60,6 +60,10 @@ class Matcher:
     differential testing; identical semantics).
     """
 
+    # Rows fetched eagerly alongside the match count; larger result sets
+    # cost one extra device->host roundtrip
+    fetch_rows: int = 8192
+
     def __init__(
         self,
         pattern: Union[PatternLike, Sequence[Pattern]],
@@ -183,38 +187,91 @@ class Matcher:
             modes.add(cp.engine.unicode)
         return len(modes) == 1
 
-    def _fused_match_arrays(self, corpus: Corpus) -> tuple:
-        """One device call for the whole query; two fetches back.
-        See ops/batch.py for the fused program."""
-        from .ops.batch import fused_match_sorted
+    def _fused_device_args(self, corpus: Corpus):
+        """(buckets, patterns, statics, use_kernel) for the fused jits."""
+        from .ops.ascii_kernel import MAX_KERNEL_NEEDLE
+        from .ops.fuzzy import SCORING_FIELDS
 
-        strategy = self._config.sort
-        buckets = tuple(b.device_arrays() for b in corpus.buckets)
+        use_kernel = (
+            not corpus.unicode
+            and all(
+                b.width % 128 == 0 and b.width <= 1024
+                for b in corpus.buckets
+            )
+            and all(
+                len(cp.engine.units.orig) <= MAX_KERNEL_NEEDLE
+                for cp in self._compiled
+            )
+        )
+        if use_kernel:
+            buckets = tuple(b.device_arrays_ascii() for b in corpus.buckets)
+        else:
+            buckets = tuple(b.device_arrays() for b in corpus.buckets)
         patterns = tuple(cp.engine._device_needle() for cp in self._compiled)
         statics = tuple(
             (
                 0 if cp.config.max_typos is None else int(cp.config.max_typos),
                 cp.config.max_typos is None,
                 cp.negated,
+                tuple(
+                    int(getattr(cp.config.scoring, f)) for f in SCORING_FIELDS
+                ),
             )
             for cp in self._compiled
         )
-        out, count = fused_match_sorted(
+        return buckets, patterns, statics, use_kernel
+
+    @staticmethod
+    def _decode_rows(rows: np.ndarray) -> tuple:
+        """Unpack fetched [index, score, packed] rows."""
+        index = rows[:, 0].astype(np.int64)
+        score = rows[:, 1].astype(np.int64)
+        packed = rows[:, 2]
+        exact = (packed >> 17).astype(bool)
+        greedy = ((packed >> 16) & 1).astype(bool)
+        end_col = (packed & 0xFFFF).astype(np.int64)
+        return index, score, exact, end_col, greedy
+
+    def _fused_match_arrays(self, corpus: Corpus) -> tuple:
+        """One device call for the whole query; usually one fetch back.
+        See ops/batch.py for the fused program."""
+        from .ops.batch import fused_match_sorted
+
+        strategy = self._config.sort
+        buckets, patterns, statics, use_kernel = self._fused_device_args(
+            corpus
+        )
+        out = fused_match_sorted(
             buckets,
             patterns,
             corpus.device_xl_mask(),
             n=len(corpus),
             pattern_statics=statics,
             sort_by_score=strategy.is_by_score,
+            use_kernel=use_kernel,
         )
-        count = int(count)
-        rows = np.asarray(out[:count])  # single compact fetch
-        index = rows[:, 0].astype(np.int64)
-        score = rows[:, 1].astype(np.int64)
-        exact = rows[:, 2].astype(bool)
-        end_col = rows[:, 3].astype(np.int64)
-        greedy = rows[:, 4].astype(bool)
+        # One fetch covers the count + the first fetch_rows matches; a
+        # second fetch only happens for very large result sets
+        k = min(self.fetch_rows, len(corpus))
+        head = np.asarray(out[: 1 + k])
+        count = int(head[0, 0])
+        if count > k:
+            rows = np.concatenate(
+                [head[1:], np.asarray(out[1 + k : 1 + count])], axis=0
+            )
+        else:
+            rows = head[1 : 1 + count]
+        index, score, exact, end_col, greedy = self._decode_rows(rows)
+        return self._host_fixups(
+            corpus, index, score, exact, end_col, greedy
+        )
 
+    def _host_fixups(
+        self, corpus, index, score, exact, end_col, greedy
+    ) -> tuple:
+        """Greedy/XL host rescoring + final strategy ordering."""
+        strategy = self._config.sort
+        count = len(index)
         resort = False
         # Greedy rows (trimmed window > DP cap): rescore on the host
         if greedy.any():
@@ -470,3 +527,87 @@ def match_list_parallel(
     **kw,
 ) -> List[Match]:
     return Matcher(needle, config, **kw).match_list_parallel(haystacks, shards)
+
+
+def match_arrays_batch(
+    queries: Sequence[Union[str, "Matcher"]],
+    corpus: Union[Sequence[str], Corpus],
+    config: Optional[Config] = None,
+    fetch_rows: int = 6144,
+) -> List[tuple]:
+    """Pipelined serving: Q independent queries (strings or prebuilt
+    Matchers) against one resident corpus in one device program + one
+    fetch. Returns per-query (index, score, exact, end_col) arrays, each
+    ordered like ``Matcher.match_arrays``.
+
+    This is the TPU production pattern the per-query API can't reach when
+    the host link has latency: dispatch once, stream results once. Queries
+    whose result set exceeds ``fetch_rows`` (rare) are transparently re-run
+    through the per-query path.
+    """
+    import jax.numpy as jnp
+
+    from .ops.batch import fused_match_sorted_batch
+
+    config = config or Config()
+    matchers = [
+        q if isinstance(q, Matcher) else Matcher.from_query(q, config)
+        for q in queries
+    ]
+    if not isinstance(corpus, Corpus):
+        unicode = any(
+            cp.engine.unicode for m in matchers for cp in m._compiled
+        )
+        corpus = pack_corpus(corpus, unicode=unicode)
+
+    # Group shape-uniform queries: same pattern count, per-pattern needle
+    # lengths and statics -> one scanned device program per group
+    groups = {}
+    results: List[Optional[tuple]] = [None] * len(queries)
+    prepared = {}
+    for i, m in enumerate(matchers):
+        if not m._fused_supported() or not m._compiled:
+            continue
+        buckets, patterns, statics, use_kernel = m._fused_device_args(corpus)
+        key = (
+            statics,
+            tuple(p[0].shape[0] for p in patterns),
+            use_kernel,
+        )
+        groups.setdefault(key, []).append(i)
+        prepared[i] = (buckets, patterns)
+
+    for (statics, _lens, use_kernel), members in groups.items():
+        buckets = prepared[members[0]][0]
+        n_pat = len(statics)
+        stacked = tuple(
+            tuple(
+                jnp.stack([prepared[i][1][p][a] for i in members])
+                for a in range(3)
+            )
+            for p in range(n_pat)
+        )
+        out = fused_match_sorted_batch(
+            buckets,
+            stacked,
+            corpus.device_xl_mask(),
+            n=len(corpus),
+            pattern_statics=statics,
+            sort_by_score=config.sort.is_by_score,
+            use_kernel=use_kernel,
+            fetch_rows=min(fetch_rows, len(corpus)),
+        )
+        all_rows = np.asarray(out)  # ONE fetch for the whole group
+        for qi, i in enumerate(members):
+            block = all_rows[qi]
+            count = int(block[0, 0])
+            if count > block.shape[0] - 1:
+                results[i] = matchers[i].match_arrays(corpus)  # overflow
+                continue
+            rows = block[1 : 1 + count]
+            decoded = Matcher._decode_rows(rows)
+            results[i] = matchers[i]._host_fixups(corpus, *decoded)
+    for i in range(len(queries)):
+        if results[i] is None:
+            results[i] = matchers[i].match_arrays(corpus)
+    return results

@@ -1,22 +1,27 @@
-"""Fused Pallas TPU kernel: prefilter + Smith-Waterman for ASCII buckets.
+"""Fused Pallas TPU kernels: prefilter + Smith-Waterman for ASCII buckets.
 
-One kernel invocation scores a (TB, W) tile of byte-packed haystacks against
-one needle entirely in VMEM: typo-tolerant subsequence prefilter, window
-trim, the full affine-gap DP with the bonus schedule, exact-match detection,
-and end-column extraction. HBM traffic is one int8 read of the haystack
-bytes plus a (TB, 4) int32 result write — the speed-of-light layout for this
-workload (it is HBM-bandwidth-bound; arithmetic is a few dozen VPU ops per
-byte).
+Mirrors the reference's two-phase shape — a cheap typo-tolerant subsequence
+prefilter rejects most haystacks before the affine-gap DP (reference:
+src/matcher/algo.rs:78-103) — as two VPU kernels with a device-side
+compaction between them:
 
-Semantics are identical to ops/fuzzy.py's jnp pipeline (that module is the
-differential-testing oracle for this kernel; ops/fuzzy.py in turn mirrors
-the host oracle, which mirrors the reference's pinned scoring tests). The
-reference's row-parallel SIMD with in-register log-shift gap propagation
-(reference: src/smith_waterman/algo/ascii.rs, ascii_gap.rs) becomes
-inter-sequence parallelism: lanes are haystack bytes, sublanes are
-haystacks, and the left-to-right gap recurrence is an exact max-plus prefix
-scan (cummax(c + q) - q with q the exclusive cumsum of per-column gap
-costs), done as log2(W) lane shifts.
+1. ``prefilter``: one pass over every (TB, W) tile of byte-packed
+   haystacks; emits matched + the conservative trim window.
+2. compaction (plain XLA): a stable partition moves surviving rows to the
+   front (cumsum positions + one row gather); the survivor count C rides
+   into the DP kernel as a prefetched scalar.
+3. ``sw``: the full bonus-schedule affine-gap DP, but only tiles whose rows
+   lie below C do any compute — cost scales with survivors, like the
+   reference, while shapes stay static for XLA.
+
+Lanes are haystack bytes, sublanes are haystacks (inter-sequence
+parallelism — the layout the reference rejected for CPU SIMD,
+reference README.md:179, and the natural fit for the 8x128 VPU). The
+left-to-right gap recurrence is an exact max-plus prefix scan
+(cummax(c + q) - q with q the exclusive cumsum of per-column gap costs) in
+log2(W) lane shifts; semantics are identical to ops/fuzzy.py's jnp pipeline
+(the differential-testing oracle for these kernels, itself pinned to the
+host oracle and the reference's scoring tests).
 
 The needle rides in SMEM via scalar prefetch; scoring constants and the
 typo budget are compile-time constants (queries change needles often,
@@ -34,13 +39,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_BIG = -(1 << 30)
-# Longest needle the unrolled kernel accepts; longer needles take the jnp
+# Longest needle the unrolled kernels accept; longer needles take the jnp
 # pipeline (they are vanishingly rare for interactive fuzzy matching)
 MAX_KERNEL_NEEDLE = 64
 
+DEFAULT_SCORING = (12, 6, 5, 1, 12, 4, 4, 8, 4)
+
 
 def _tile_rows(width: int) -> int:
-    """Rows per grid step; bounds live VMEM to ~ a dozen (TB, W) i32 arrays."""
+    """Rows per grid step; bounds live VMEM to ~ a dozen (TB, W) i32 arrays.
+    (Measured on v5e: larger tiles do not help — the prefilter slows down
+    ~2x at TB=1024, likely register/VMEM pressure.)"""
     return max(32, min(512, 32768 // width))
 
 
@@ -67,205 +76,198 @@ def _cummax_lanes(x, col, width):
     return x
 
 
-def _make_kernel(width, n, max_typos, scoring, no_prefilter):
+def _prefilter_body(needle_ref, hay, nu, col, n, T, width):
+    """Minimal-position DP over the typo budget. Returns
+    (matched, wstart_raw, wend), each (TB, 1) int32/bool. Semantics
+    contract: oracle/prefilter.py; jnp twin: ops/fuzzy.py
+    prefilter_bucket."""
+    tb = hay.shape[0]
+    BIG = width + 1
+    valid = col < nu
+
+    def occ_of(k):
+        return valid & ((hay == needle_ref[k]) | (hay == needle_ref[n + k]))
+
+    if n <= T:
+        ones = jnp.ones((tb, 1), jnp.bool_)
+        return ones, jnp.zeros((tb, 1), jnp.int32), nu
+
+    f = [jnp.zeros((tb, 1), jnp.int32) for _ in range(T + 1)]
+    first_occ_start = jnp.full((tb, 1), BIG, jnp.int32)
+    start_zero = jnp.zeros((tb, 1), jnp.int32)
+    occ_last = None
+    for k in range(n):
+        occ = occ_of(k)
+        if k == n - 1:
+            occ_last = occ
+        if k <= T:
+            first_occ_start = jnp.minimum(
+                first_occ_start,
+                jnp.min(jnp.where(occ, col, BIG), axis=1, keepdims=True),
+            )
+        nf = []
+        for t in range(T + 1):
+            nxt_occ = jnp.min(
+                jnp.where(occ & (col >= f[t]), col, BIG),
+                axis=1, keepdims=True,
+            )
+            nxt = jnp.where(
+                f[t] <= width, jnp.minimum(nxt_occ + 1, BIG), BIG
+            )
+            if t > 0:
+                nxt = jnp.minimum(nxt, f[t - 1])
+            nf.append(nxt)
+        if k == 0:
+            start_zero = jnp.minimum(nf[0] - 1, width)
+        f = nf
+    matched = f[T] <= width
+
+    if T == 0:
+        last_pos = f[0] - 1
+        e = jnp.max(
+            jnp.where(occ_last & (col >= last_pos), col, -1),
+            axis=1, keepdims=True,
+        )
+        wstart_raw = jnp.clip(start_zero, 0, width - 1)
+        wend = jnp.where(e >= 0, e + 1, nu)
+    else:
+        wstart_raw = jnp.where(
+            first_occ_start <= width,
+            jnp.clip(first_occ_start, 0, width - 1),
+            0,
+        )
+        occ_tail = jnp.zeros((tb, width), jnp.bool_)
+        for k in range(max(n - 1 - T, 0), n):
+            occ_tail = occ_tail | occ_of(k)
+        e = jnp.max(jnp.where(occ_tail, col, -1), axis=1, keepdims=True)
+        wend = jnp.where(e >= 0, e + 1, nu)
+    wstart_raw = jnp.where(matched, wstart_raw, 0)
+    wend = jnp.where(matched, wend, nu)
+    return matched, wstart_raw, wend
+
+
+def _sw_body(needle_ref, hay, nu, wstart_raw, wend, col, n, width, scoring):
+    """Windowed affine-gap Smith-Waterman with the full bonus schedule.
+    Returns (score, exact, end_col), each (TB, 1). jnp twin:
+    ops/fuzzy.py sw_score_bucket."""
     (match_score, mismatch, gap_open, gap_ext, prefix_b, cap_b, case_b,
      exact_b, delim_b) = scoring
     gop_extra = max(gap_open - gap_ext, 0)
+    tb = hay.shape[0]
     BIG = width + 1
-    T = int(max_typos)
+    valid = col < nu
 
-    def kernel(needle_ref, cp_ref, nu_ref, out_ref):
-        hay = cp_ref[:].astype(jnp.int32) & 0xFF  # bytes as 0..255
-        tb = hay.shape[0]
-        nu = nu_ref[:]  # (TB, 1) int32
-        col = jax.lax.broadcasted_iota(jnp.int32, (tb, width), 1)
-        valid = col < nu
+    # window trim (start-1 keeps delimiter context;
+    # reference: src/matcher/algo.rs:332-338)
+    wstart = jnp.maximum(wstart_raw - 1, 0)
+    include_exact = (wstart == 0) & (wend == nu)
 
-        def occ_of(k):
-            o = needle_ref[k]
-            f = needle_ref[n + k]
-            return valid & ((hay == o) | (hay == f))
+    active = valid & (col >= wstart) & (col < wend)
+    first_unit = jnp.min(jnp.where(active, col, BIG), axis=1, keepdims=True)
+    is_first = active & (col == first_unit)
+    include_prefix = wstart == 0
 
-        # ---- prefilter: minimal-position DP over the typo budget ----
-        # (semantics contract: oracle/prefilter.py; jnp twin:
-        #  ops/fuzzy.py prefilter_bucket)
-        if no_prefilter:
-            matched = jnp.ones((tb, 1), jnp.bool_)
-            wstart_raw = jnp.zeros((tb, 1), jnp.int32)
-            wend = nu
-        elif n <= T:
-            matched = jnp.ones((tb, 1), jnp.bool_)
-            wstart_raw = jnp.zeros((tb, 1), jnp.int32)
-            wend = nu
-        else:
-            f = [jnp.zeros((tb, 1), jnp.int32) for _ in range(T + 1)]
-            first_occ_start = jnp.full((tb, 1), BIG, jnp.int32)
-            start_zero = jnp.zeros((tb, 1), jnp.int32)
-            occ_last = None
-            for k in range(n):
-                occ = occ_of(k)
-                if k == n - 1:
-                    occ_last = occ
-                if k <= T:
-                    first_occ_start = jnp.minimum(
-                        first_occ_start,
-                        jnp.min(jnp.where(occ, col, BIG), axis=1,
-                                keepdims=True),
-                    )
-                nf = []
-                for t in range(T + 1):
-                    nxt_occ = jnp.min(
-                        jnp.where(occ & (col >= f[t]), col, BIG),
-                        axis=1, keepdims=True,
-                    )
-                    nxt = jnp.where(
-                        f[t] <= width, jnp.minimum(nxt_occ + 1, BIG), BIG
-                    )
-                    if t > 0:
-                        nxt = jnp.minimum(nxt, f[t - 1])
-                    nf.append(nxt)
-                if k == 0:
-                    start_zero = jnp.minimum(nf[0] - 1, width)
-                f = nf
-            matched = f[T] <= width
+    prev = _shift_right(hay, 1, -1, col)
+    is_upper = (hay >= 0x41) & (hay <= 0x5A)
+    prev_lower = (prev >= 0x61) & (prev <= 0x7A)
 
-            if T == 0:
-                last_pos = f[0] - 1
-                e = jnp.max(
-                    jnp.where(occ_last & (col >= last_pos), col, -1),
-                    axis=1, keepdims=True,
-                )
-                wstart_raw = jnp.clip(start_zero, 0, width - 1)
-                wend = jnp.where(e >= 0, e + 1, nu)
-            else:
-                wstart_raw = jnp.where(
-                    first_occ_start <= width,
-                    jnp.clip(first_occ_start, 0, width - 1),
-                    0,
-                )
-                occ_tail = jnp.zeros((tb, width), jnp.bool_)
-                for k in range(max(n - 1 - T, 0), n):
-                    occ_tail = occ_tail | occ_of(k)
-                e = jnp.max(jnp.where(occ_tail, col, -1), axis=1,
-                            keepdims=True)
-                wend = jnp.where(e >= 0, e + 1, nu)
-            wstart_raw = jnp.where(matched, wstart_raw, 0)
-            wend = jnp.where(matched, wend, nu)
+    def delim(b):
+        letter = ((b >= 0x41) & (b <= 0x5A)) | ((b >= 0x61) & (b <= 0x7A))
+        digit = (b >= 0x30) & (b <= 0x39)
+        return (b >= 0) & (b <= 127) & ~letter & ~digit
 
-        # ---- window trim (start-1 keeps delimiter context;
-        #      reference: src/matcher/algo.rs:332-338) ----
-        wstart = jnp.maximum(wstart_raw - 1, 0)
-        include_exact = (wstart == 0) & (wend == nu)
+    cap_mask = is_upper & prev_lower & ~is_first
+    delim_mask = delim(prev) & ~delim(hay) & ~is_first
+    bonus = (
+        jnp.where(cap_mask, cap_b, 0)
+        + jnp.where(delim_mask, delim_b, 0)
+        + jnp.where(is_first & include_prefix, prefix_b, 0)
+    ).astype(jnp.int32)
 
-        # ---- Smith-Waterman over the window (jnp twin:
-        #      ops/fuzzy.py sw_score_bucket) ----
-        active = valid & (col >= wstart) & (col < wend)
-        first_unit = jnp.min(jnp.where(active, col, BIG), axis=1,
-                             keepdims=True)
-        is_first = active & (col == first_unit)
-        include_prefix = wstart == 0
+    prev_row = jnp.zeros((tb, width), jnp.int32)
+    prev_mm = jnp.zeros((tb, width), jnp.bool_)
+    for k in range(n):
+        o = needle_ref[k]
+        fl = needle_ref[n + k]
+        match = active & ((hay == o) | (hay == fl))
+        exactc = active & (hay == o)
 
-        prev = _shift_right(hay, 1, -1, col)
-        is_upper = (hay >= 0x41) & (hay <= 0x5A)
-        prev_lower = (prev >= 0x61) & (prev <= 0x7A)
+        diag_base = _shift_right(prev_row, 1, 0, col)
+        diag_m = (
+            diag_base + match_score + bonus + jnp.where(exactc, case_b, 0)
+        )
+        diag_u = jnp.maximum(diag_base - mismatch, 0)
+        diag = jnp.where(match, diag_m, diag_u)
+        up = jnp.maximum(
+            prev_row - gap_ext - jnp.where(prev_mm, gop_extra, 0), 0
+        )
+        c = jnp.maximum(diag, up)
+        p = gap_ext + jnp.where(match, gop_extra, 0)
+        q = _shift_right(_cumsum_lanes(p, col, width), 1, 0, col)
+        prev_row = _cummax_lanes(c + q, col, width) - q
+        prev_mm = match
 
-        def delim(b):
-            letter = ((b >= 0x41) & (b <= 0x5A)) | ((b >= 0x61) & (b <= 0x7A))
-            digit = (b >= 0x30) & (b <= 0x39)
-            return (b >= 0) & (b <= 127) & ~letter & ~digit
+    score = jnp.maximum(jnp.max(prev_row, axis=1, keepdims=True), 0)
+    end_unit = jnp.min(
+        jnp.where(prev_row == score, col, BIG), axis=1, keepdims=True
+    )
+    # Pad lanes map to byte offset 0, matching the jnp pipeline's
+    # zero-padded byte_off gather (only reachable on unmatched rows)
+    end_unit = jnp.where(end_unit < nu, end_unit, 0)
+    end_col = jnp.where(score > 0, end_unit, wstart)
 
-        cap_mask = is_upper & prev_lower & ~is_first
-        delim_mask = delim(prev) & ~delim(hay) & ~is_first
-        bonus = (
-            jnp.where(cap_mask, cap_b, 0)
-            + jnp.where(delim_mask, delim_b, 0)
-            + jnp.where(is_first & include_prefix, prefix_b, 0)
-        ).astype(jnp.int32)
-
-        prev_row = jnp.zeros((tb, width), jnp.int32)
-        prev_mm = jnp.zeros((tb, width), jnp.bool_)
+    # exact match (byte equality over the whole haystack;
+    # reference: src/matcher/algo.rs:245-248)
+    if n <= width:
+        neq = jnp.zeros((tb, 1), jnp.bool_)
         for k in range(n):
-            o = needle_ref[k]
-            fl = needle_ref[n + k]
-            match = active & ((hay == o) | (hay == fl))
-            exactc = active & (hay == o)
+            neq = neq | (hay[:, k:k + 1] != needle_ref[k])
+        exact = include_exact & (nu == n) & ~neq
+    else:
+        exact = jnp.zeros((tb, 1), jnp.bool_)
+    score = jnp.where(exact, jnp.minimum(score + exact_b, 0xFFFF), score)
+    return score, exact, end_col
 
-            diag_base = _shift_right(prev_row, 1, 0, col)
-            diag_m = (
-                diag_base + match_score + bonus
-                + jnp.where(exactc, case_b, 0)
-            )
-            diag_u = jnp.maximum(diag_base - mismatch, 0)
-            diag = jnp.where(match, diag_m, diag_u)
-            up = jnp.maximum(
-                prev_row - gap_ext - jnp.where(prev_mm, gop_extra, 0), 0
-            )
-            c = jnp.maximum(diag, up)
-            p = gap_ext + jnp.where(match, gop_extra, 0)
-            q = _shift_right(_cumsum_lanes(p, col, width), 1, 0, col)
-            prev_row = _cummax_lanes(c + q, col, width) - q
-            prev_mm = match
 
-        score = jnp.maximum(
-            jnp.max(prev_row, axis=1, keepdims=True), 0
-        )
-        end_unit = jnp.min(
-            jnp.where(prev_row == score, col, BIG), axis=1, keepdims=True
-        )
-        end_col = jnp.where(score > 0, end_unit, wstart)
-
-        # exact match (byte equality over the whole haystack;
-        # reference: src/matcher/algo.rs:245-248)
-        if n <= width:
-            neq = jnp.zeros((tb, 1), jnp.bool_)
-            for k in range(n):
-                neq = neq | (hay[:, k:k + 1] != needle_ref[k])
-            exact = include_exact & (nu == n) & ~neq
-        else:
-            exact = jnp.zeros((tb, 1), jnp.bool_)
-        score = jnp.where(exact, jnp.minimum(score + exact_b, 0xFFFF), score)
-
-        out_ref[:, 0:1] = matched.astype(jnp.int32)
-        out_ref[:, 1:2] = score
-        out_ref[:, 2:3] = exact.astype(jnp.int32)
-        out_ref[:, 3:4] = end_col
-
-    return kernel
+def _pad_rows(x, tb):
+    pad = (-x.shape[0]) % tb
+    if pad:
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    return x
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("max_typos", "no_prefilter", "scoring", "interpret"),
+    jax.jit, static_argnames=("max_typos", "interpret")
 )
-def fuzzy_match_ascii_kernel(
+def prefilter_ascii(
     cp: jnp.ndarray,  # (B, W) int8 haystack bytes, zero padded
     n_units: jnp.ndarray,  # (B, 1) int32
     needle_packed: jnp.ndarray,  # (2n,) int32: orig then flip
     *,
     max_typos: int = 0,
-    no_prefilter: bool = False,
-    scoring: Tuple[int, ...] = (12, 6, 5, 1, 12, 4, 4, 8, 4),
     interpret: bool = False,
 ):
-    """Batched fused fuzzy match of one needle over an ASCII bucket.
-
-    Returns (B, 4) int32: matched, score, exact, end_col. The bucket width
-    must be lane-aligned (multiple of 128) and <= MAX_HAYSTACK_LEN so the
-    greedy fallback can never trigger.
-    """
+    """Prefilter an ASCII bucket. Returns (B, 3) int32:
+    matched, wstart_raw, wend."""
     B, W = cp.shape
     n = needle_packed.shape[0] // 2
-    assert W % 128 == 0 and W <= 1024, W
-    assert n <= MAX_KERNEL_NEEDLE
-
     TB = _tile_rows(W)
-    pad = (-B) % TB
-    if pad:
-        cp = jnp.pad(cp, ((0, pad), (0, 0)))
-        n_units = jnp.pad(n_units, ((0, pad), (0, 0)))
-    Bp = B + pad
+    cp = _pad_rows(cp, TB)
+    n_units = _pad_rows(n_units, TB)
+    Bp = cp.shape[0]
+    T = int(max_typos)
 
-    kernel = _make_kernel(W, n, max_typos, scoring, no_prefilter)
+    def kernel(needle_ref, cp_ref, nu_ref, out_ref):
+        hay = cp_ref[:].astype(jnp.int32) & 0xFF
+        nu = nu_ref[:]
+        col = jax.lax.broadcasted_iota(jnp.int32, hay.shape, 1)
+        matched, wstart_raw, wend = _prefilter_body(
+            needle_ref, hay, nu, col, n, T, W
+        )
+        out_ref[:, 0:1] = matched.astype(jnp.int32)
+        out_ref[:, 1:2] = wstart_raw
+        out_ref[:, 2:3] = wend
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Bp // TB,),
@@ -275,17 +277,158 @@ def fuzzy_match_ascii_kernel(
             pl.BlockSpec((TB, 1), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TB, 4), lambda i, *_: (i, 0),
+        out_specs=pl.BlockSpec((TB, 3), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((Bp, 4), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Bp, 3), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=30 * n * Bp * W, bytes_accessed=Bp * W + Bp * 16,
-            transcendentals=0,
-        ),
     )(needle_packed, cp, n_units)
     return out[:B]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scoring", "interpret")
+)
+def sw_ascii(
+    cp: jnp.ndarray,  # (B, W) int8 (typically compacted survivors-first)
+    n_units: jnp.ndarray,  # (B, 1) int32
+    wstart_raw: jnp.ndarray,  # (B, 1) int32 untrimmed window start
+    wend: jnp.ndarray,  # (B, 1) int32 window end (exclusive)
+    count: jnp.ndarray,  # (1,) int32: rows needing DP; tiles past it skip
+    needle_packed: jnp.ndarray,  # (2n,) int32
+    *,
+    scoring: Tuple[int, ...] = DEFAULT_SCORING,
+    interpret: bool = False,
+):
+    """Windowed Smith-Waterman over the first ``count`` rows. Returns
+    (B, 3) int32: score, exact, end_col (rows >= count are zero)."""
+    B, W = cp.shape
+    n = needle_packed.shape[0] // 2
+    TB = _tile_rows(W)
+    cp = _pad_rows(cp, TB)
+    n_units = _pad_rows(n_units, TB)
+    wstart_raw = _pad_rows(wstart_raw, TB)
+    wend = _pad_rows(wend, TB)
+    Bp = cp.shape[0]
+
+    # needle scalars and the count share one prefetch array:
+    # [count, orig..., flip...]
+    scalars = jnp.concatenate(
+        [count.astype(jnp.int32), needle_packed.astype(jnp.int32)]
+    )
+
+    def kernel(scalars_ref, cp_ref, nu_ref, ws_ref, we_ref, out_ref):
+        i = pl.program_id(0)
+
+        class _NeedleView:
+            def __getitem__(self, k):
+                return scalars_ref[k + 1]
+
+        @pl.when(i * TB < scalars_ref[0])
+        def _():
+            hay = cp_ref[:].astype(jnp.int32) & 0xFF
+            nu = nu_ref[:]
+            col = jax.lax.broadcasted_iota(jnp.int32, hay.shape, 1)
+            score, exact, end_col = _sw_body(
+                _NeedleView(), hay, nu, ws_ref[:], we_ref[:], col, n, W,
+                scoring,
+            )
+            out_ref[:, 0:1] = score
+            out_ref[:, 1:2] = exact.astype(jnp.int32)
+            out_ref[:, 2:3] = end_col
+
+        @pl.when(i * TB >= scalars_ref[0])
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Bp // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, W), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, 3), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Bp, 3), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(scalars, cp, n_units, wstart_raw, wend)
+    return out[:B]
+
+
+def fuzzy_match_ascii(
+    cp: jnp.ndarray,  # (B, W) int8
+    n_units: jnp.ndarray,  # (B, 1) int32
+    needle_packed: jnp.ndarray,  # (2n,) int32
+    *,
+    max_typos: int = 0,
+    no_prefilter: bool = False,
+    scoring: Tuple[int, ...] = DEFAULT_SCORING,
+    interpret: bool = None,
+):
+    """Full fused ASCII fuzzy match: prefilter -> compact -> DP.
+
+    Returns (matched (B,) bool, score (B,) i32, exact (B,) bool,
+    end_col (B,) i32). Composable inside a larger jit. The bucket width
+    must be lane-aligned (multiple of 128) and <= MAX_HAYSTACK_LEN so the
+    greedy fallback can never trigger.
+    """
+    B, W = cp.shape
+    n = needle_packed.shape[0] // 2
+    assert W % 128 == 0 and W <= 1024, W
+    assert n <= MAX_KERNEL_NEEDLE
+    if interpret is None:
+        # Compiled Mosaic on TPU; interpreter everywhere else (CPU tests)
+        interpret = jax.default_backend() != "tpu"
+
+    if no_prefilter:
+        count = jnp.full((1,), B, jnp.int32)
+        out = sw_ascii(
+            cp, n_units, jnp.zeros((B, 1), jnp.int32), n_units, count,
+            needle_packed, scoring=scoring, interpret=interpret,
+        )
+        matched = jnp.ones((B,), jnp.bool_)
+        return matched, out[:, 0], out[:, 1].astype(jnp.bool_), out[:, 2]
+
+    pf = prefilter_ascii(
+        cp, n_units, needle_packed, max_typos=max_typos, interpret=interpret
+    )
+    matched = pf[:, 0].astype(jnp.bool_)
+    wstart_raw = pf[:, 1:2]
+    wend = pf[:, 2:3]
+
+    # Stable partition: survivors first. pos[i] = compacted slot of row i.
+    m32 = matched.astype(jnp.int32)
+    cs = jnp.cumsum(m32)
+    C = cs[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
+    pos = jnp.where(matched, cs - 1, C + iota - cs)
+    perm = jnp.zeros((B,), jnp.int32).at[pos].set(iota)
+
+    cp_c = jnp.take(cp, perm, axis=0)
+    nu_c = jnp.take(n_units, perm, axis=0)
+    ws_c = jnp.take(wstart_raw, perm, axis=0)
+    we_c = jnp.take(wend, perm, axis=0)
+
+    out_c = sw_ascii(
+        cp_c, nu_c, ws_c, we_c, C[None], needle_packed,
+        scoring=scoring, interpret=interpret,
+    )
+    out = jnp.take(out_c, pos, axis=0)  # back to original row order
+    score = jnp.where(matched, out[:, 0], 0)
+    exact = matched & out[:, 1].astype(jnp.bool_)
+    end_col = jnp.where(matched, out[:, 2], 0)
+    return matched, score, exact, end_col

@@ -20,13 +20,15 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from .ascii_kernel import fuzzy_match_ascii
 from .fuzzy import fuzzy_pipeline
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
 def _dense_pattern_result(
-    buckets, needle_orig, needle_flip, sc, n, *, max_typos, no_prefilter
+    buckets, needle_orig, needle_flip, sc, n,
+    *, max_typos, no_prefilter, use_kernel, scoring,
 ):
     """Run one pattern over every bucket, scattered into dense (n,) arrays."""
     matched = jnp.zeros((n,), jnp.bool_)
@@ -34,12 +36,27 @@ def _dense_pattern_result(
     exact = jnp.zeros((n,), jnp.bool_)
     end_col = jnp.zeros((n,), jnp.int32)
     greedy = jnp.zeros((n,), jnp.bool_)
+    needle_packed = (
+        jnp.concatenate([needle_orig, needle_flip]).astype(jnp.int32)
+        if use_kernel else None
+    )
     for b in buckets:
-        cp, fb, plb, boff, blen, nu, nb, idx = b
-        m, s, e, ec, g, _ws, _we = fuzzy_pipeline(
-            cp, fb, plb, boff, blen, nu, nb, needle_orig, needle_flip, sc,
-            max_typos=max_typos, no_prefilter=no_prefilter,
-        )
+        if use_kernel:
+            # Fused Pallas path (ASCII buckets are <= MAX_HAYSTACK_LEN wide,
+            # so the greedy fallback can never trigger)
+            cp8, nu2, idx = b
+            m, s, e, ec = fuzzy_match_ascii(
+                cp8, nu2, needle_packed,
+                max_typos=max_typos, no_prefilter=no_prefilter,
+                scoring=scoring,
+            )
+            g = jnp.zeros_like(m)
+        else:
+            cp, fb, plb, boff, blen, nu, nb, idx = b
+            m, s, e, ec, g, _ws, _we = fuzzy_pipeline(
+                cp, fb, plb, boff, blen, nu, nb, needle_orig, needle_flip, sc,
+                max_typos=max_typos, no_prefilter=no_prefilter,
+            )
         matched = matched.at[idx].set(m)
         score = score.at[idx].set(s)
         exact = exact.at[idx].set(e)
@@ -48,51 +65,40 @@ def _dense_pattern_result(
     return matched, score, exact, end_col, greedy
 
 
+def _pack_misc(exact, end_col, greedy):
+    """exact -> bit 17, greedy -> bit 16, end_col -> bits 0..15."""
+    return (
+        (exact.astype(jnp.int32) << 17)
+        | (greedy.astype(jnp.int32) << 16)
+        | jnp.minimum(end_col, 0xFFFF)
+    )
+
+
 def _sort_matches_desc(matched, score, exact, end_col, greedy, index):
-    """Device sort by (matched first, score desc, index asc)."""
+    """Device sort by (matched first, score desc, index asc). Slim: two
+    int32 keys plus one packed payload column."""
     key1 = jnp.where(matched, -score, 1).astype(jnp.int32)
     key2 = jnp.where(matched, index, INT32_MAX).astype(jnp.int32)
-    _k1, _k2, index, score, exact, end_col, greedy = jax.lax.sort(
-        (key1, key2, index, score, exact.astype(jnp.int32),
-         end_col, greedy.astype(jnp.int32)),
-        num_keys=2,
-    )
-    out = jnp.stack([index, score, exact, end_col, greedy], axis=1)
-    return out
+    packed = _pack_misc(exact, end_col, greedy)
+    key1, key2, packed = jax.lax.sort((key1, key2, packed), num_keys=2)
+    return jnp.stack([key2, -key1, packed], axis=1)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n", "pattern_statics", "sort_by_score"),
-)
-def fused_match_sorted(
-    buckets,  # tuple of per-bucket 8-tuples (device arrays, idx last)
-    patterns,  # tuple of per-pattern (needle_orig, needle_flip, sc) tuples
-    xl_mask,  # (n,) bool: rows longer than the largest bucket (host path)
-    *,
-    n: int,
-    pattern_statics: Tuple[Tuple[int, bool, bool], ...],  # (typos, nopre, neg)
-    sort_by_score: bool = True,
+def _fused_match_body(
+    buckets, patterns, xl_mask, n, pattern_statics, sort_by_score, use_kernel
 ):
-    """One-call corpus match. Returns (out (n,5) int32 sorted, count int32).
-
-    out columns: index, score, exact, end_col, needs_greedy. Matched rows
-    come first in (score desc, index asc) order when ``sort_by_score``, else
-    index asc; ``count`` of them are valid. Multi-pattern combination per the
-    reference model (src/matcher/multi.rs:84-152): non-negated scores sum
-    (saturating u16), exact ORs, end_col maxes, negated patterns veto.
-    """
     c_matched = jnp.ones((n,), jnp.bool_)
     c_score = jnp.zeros((n,), jnp.int32)
     c_exact = jnp.zeros((n,), jnp.bool_)
     c_end = jnp.zeros((n,), jnp.int32)
     c_greedy = jnp.zeros((n,), jnp.bool_)
 
-    for (orig, flip, sc), (typos, nopre, negated) in zip(
+    for (orig, flip, sc), (typos, nopre, negated, scoring) in zip(
         patterns, pattern_statics
     ):
         m, s, e, ec, g = _dense_pattern_result(
-            buckets, orig, flip, sc, n, max_typos=typos, no_prefilter=nopre
+            buckets, orig, flip, sc, n, max_typos=typos, no_prefilter=nopre,
+            use_kernel=use_kernel, scoring=scoring,
         )
         if negated:
             c_matched = c_matched & ~m
@@ -111,10 +117,84 @@ def fused_match_sorted(
                                  c_greedy, index)
     else:
         key2 = jnp.where(c_matched, index, INT32_MAX).astype(jnp.int32)
-        _k2, index, score, exact, end_col, greedy = jax.lax.sort(
-            (key2, index, c_score, c_exact.astype(jnp.int32), c_end,
-             c_greedy.astype(jnp.int32)),
-            num_keys=1,
+        packed = _pack_misc(c_exact, c_end, c_greedy)
+        key2, score, packed = jax.lax.sort(
+            (key2, c_score, packed), num_keys=1
         )
-        out = jnp.stack([index, score, exact, end_col, greedy], axis=1)
-    return out, count
+        out = jnp.stack([key2, score, packed], axis=1)
+    # Row 0 carries the match count so count + top rows arrive in ONE
+    # device->host fetch (the transport roundtrip is the latency floor)
+    header = jnp.stack(
+        [count, jnp.int32(0), jnp.int32(0)]
+    )[None, :]
+    return jnp.concatenate([header, out], axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "pattern_statics", "sort_by_score", "use_kernel"),
+)
+def fused_match_sorted(
+    buckets,  # per-bucket tuples: jnp 8-tuples, or kernel 3-tuples
+    patterns,  # tuple of per-pattern (needle_orig, needle_flip, sc) tuples
+    xl_mask,  # (n,) bool: rows longer than the largest bucket (host path)
+    *,
+    n: int,
+    # per-pattern statics: (typos, no_prefilter, negated, scoring 9-tuple)
+    pattern_statics: Tuple[Tuple[int, bool, bool, Tuple[int, ...]], ...],
+    sort_by_score: bool = True,
+    use_kernel: bool = False,
+):
+    """One-call corpus match. Returns out (1+n, 3) int32.
+
+    Row 0 is [match_count, 0, 0]; rows 1.. are [index, score, packed] with
+    packed = exact<<17 | needs_greedy<<16 | end_col. Matched rows come first
+    in (score desc, index asc) order when ``sort_by_score``, else index asc.
+    Multi-pattern combination per the reference model
+    (src/matcher/multi.rs:84-152): non-negated scores sum (saturating u16),
+    exact ORs, end_col maxes, negated patterns veto.
+    """
+    return _fused_match_body(
+        buckets, patterns, xl_mask, n, pattern_statics, sort_by_score,
+        use_kernel,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n", "pattern_statics", "sort_by_score", "use_kernel", "fetch_rows"
+    ),
+)
+def fused_match_sorted_batch(
+    buckets,
+    stacked_patterns,  # tuple (per pattern position) of (orig, flip, sc),
+    #                    each with a leading query axis Q
+    xl_mask,
+    *,
+    n: int,
+    pattern_statics: Tuple,  # shared by every query in the batch
+    sort_by_score: bool = True,
+    use_kernel: bool = False,
+    fetch_rows: int = 6144,
+):
+    """Pipelined serving: match Q shape-uniform queries against one resident
+    corpus in a single device program, one (Q, 1+fetch_rows, 3) fetch.
+
+    The query loop is a ``lax.scan`` so the program is traced once
+    regardless of Q — the device analog of running the reference's matcher
+    once per query on a hot corpus, with dispatch and transport amortized
+    across the batch (the production serving shape on an accelerator).
+    Queries must agree on pattern count, per-pattern needle lengths, and
+    statics; the caller groups by those.
+    """
+
+    def body(carry, patterns):
+        out = _fused_match_body(
+            buckets, patterns, xl_mask, n, pattern_statics, sort_by_score,
+            use_kernel,
+        )
+        return carry, out[: 1 + fetch_rows]
+
+    _, outs = jax.lax.scan(body, jnp.int32(0), stacked_patterns)
+    return outs

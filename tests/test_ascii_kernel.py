@@ -1,0 +1,110 @@
+"""Pallas ASCII kernel parity vs the jnp pipeline (which is itself pinned
+to the host oracle and the reference's scoring tests).
+
+Mirrors the reference's two-rung backend testing: contract-level checks on
+boundary-biased inputs plus randomized parity against a lane-matched oracle
+(reference: src/smith_waterman/backend/tests/parity.rs). On CPU the kernels
+run in interpreter mode; the same code compiles via Mosaic on TPU.
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+
+from frizbee_tpu.config import Config  # noqa: E402
+from frizbee_tpu.corpus import pack_corpus  # noqa: E402
+from frizbee_tpu.datagen import (  # noqa: E402
+    HaystackGenerationOptions,
+    generate_haystack,
+)
+from frizbee_tpu.engine import FuzzyEngine  # noqa: E402
+from frizbee_tpu.ops.ascii_kernel import fuzzy_match_ascii  # noqa: E402
+from frizbee_tpu.ops.fuzzy import fuzzy_pipeline  # noqa: E402
+
+
+def _kernel_vs_jnp(haystacks, needle, typos, widths=(128,)):
+    config = Config(max_typos=typos)
+    eng = FuzzyEngine(needle, config)
+    orig, flip, sc = eng._device_needle()
+    nopre = typos is None
+    t = 0 if nopre else typos
+    packed = jnp.concatenate([orig, flip]).astype(jnp.int32)
+    sct = tuple(int(x) for x in np.asarray(sc))
+    corpus = pack_corpus(haystacks, unicode=False, bucket_widths=widths)
+    assert corpus.buckets, "corpus collapsed to XL only"
+    for b in corpus.buckets:
+        ref = fuzzy_pipeline(
+            jnp.asarray(b.cp), jnp.asarray(b.first_byte),
+            jnp.asarray(b.prev_last_byte), jnp.asarray(b.byte_off),
+            jnp.asarray(b.byte_len), jnp.asarray(b.n_units),
+            jnp.asarray(b.n_bytes), orig, flip, sc,
+            max_typos=t, no_prefilter=nopre,
+        )
+        cp8 = jnp.asarray(b.cp.astype(np.uint8).astype(np.int8))
+        nu = jnp.asarray(b.n_units.astype(np.int32)[:, None])
+        m, s, e, ec = fuzzy_match_ascii(
+            cp8, nu, packed, max_typos=t, no_prefilter=nopre,
+            scoring=sct, interpret=True,
+        )
+        rm, rs, re_, rec = [np.asarray(x) for x in ref[:4]]
+        m = np.asarray(m)
+        np.testing.assert_array_equal(m, rm)
+        np.testing.assert_array_equal(np.asarray(s)[rm], rs[rm])
+        np.testing.assert_array_equal(np.asarray(e)[rm], re_[rm])
+        np.testing.assert_array_equal(np.asarray(ec)[rm], rec[rm])
+
+
+BOUNDARY_CASES = [
+    "",
+    "d",
+    "deadbeef",
+    "deadbeefdeadbeef",
+    "x" * 127 + "d",
+    "d" + "x" * 127,
+    "de" + "x" * 60 + "adbeef",
+    "DEADBEEF",
+    "DeadBeef",
+    "dead beef",
+    "dead/beef",
+    "dead_beef_dead_beef",
+    "eadbeef",  # missing first char
+    "deadbee",  # missing last char
+    "daedbeef",  # transposition
+    "xxdxxexxaxxdxxbxxexxexxfxx",
+    "f" * 128,
+    "deadbeef" * 16,
+]
+
+
+@pytest.mark.parametrize("typos", [0, 1, 2, None])
+def test_kernel_boundary_cases(typos):
+    _kernel_vs_jnp(BOUNDARY_CASES, "deadbeef", typos)
+
+
+@pytest.mark.parametrize("needle", ["d", "de", "DeAd", "dead beef"])
+def test_kernel_short_needles(needle):
+    _kernel_vs_jnp(BOUNDARY_CASES, needle, 0)
+
+
+def test_kernel_randomized_parity():
+    hay = generate_haystack(
+        "deadbeef",
+        HaystackGenerationOptions(
+            seed=123, partial_match_percentage=0.3, match_percentage=0.2,
+            median_length=48, std_dev_length=30, num_samples=300,
+        ),
+    )
+    for typos in (0, 1, None):
+        _kernel_vs_jnp(hay, "deadbeef", typos)
+
+
+def test_kernel_wide_bucket():
+    hay = ["deadbeef" + "x" * 200, "x" * 250, ("de" + "y" * 100) * 2]
+    _kernel_vs_jnp(hay, "deadbeef", 0, widths=(256,))
+
+
+def test_kernel_typo3_path():
+    hay = ["dxxf", "df", "deadbeef", "zzzz", "dbef"]
+    _kernel_vs_jnp(hay, "dbef", 3)
