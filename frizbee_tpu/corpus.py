@@ -76,18 +76,41 @@ class PackedBucket:
     def size(self) -> int:
         return int(self.indices.shape[0])
 
+    def _full_arrays(self):
+        """Int32 unit arrays incl. byte context. The native ASCII packer
+        stores only the int8 byte matrix; the context arrays (first byte ==
+        the byte, previous byte, offsets, unit length 1) derive here on
+        first (rare) use by the generic jnp pipeline."""
+        if self.first_byte is not None:
+            return (self.cp, self.first_byte, self.prev_last_byte,
+                    self.byte_off, self.byte_len)
+        cp32 = self.cp.astype(np.int32) & 0xFF
+        b, w = cp32.shape
+        valid = (
+            np.arange(w, dtype=np.int32)[None, :] < self.n_units[:, None]
+        )
+        cp32 = np.where(valid, cp32, 0)
+        prev = np.concatenate(
+            [np.full((b, 1), -1, np.int32), cp32[:, :-1]], axis=1
+        )
+        prev = np.where(valid, prev, -1)
+        boff = np.where(valid, np.arange(w, dtype=np.int32)[None, :], 0)
+        blen = valid.astype(np.int32)
+        return cp32, cp32, prev, boff, blen
+
     def device_arrays(self):
         """Device-resident copies of the packed arrays (cached). Order matches
         the ``fuzzy_pipeline`` signature; last entry is the row indices."""
         if not hasattr(self, "_device"):
             import jax.numpy as jnp
 
+            cp, first, prev, boff, blen = self._full_arrays()
             self._device = (
-                jnp.asarray(self.cp),
-                jnp.asarray(self.first_byte),
-                jnp.asarray(self.prev_last_byte),
-                jnp.asarray(self.byte_off),
-                jnp.asarray(self.byte_len),
+                jnp.asarray(cp),
+                jnp.asarray(first),
+                jnp.asarray(prev),
+                jnp.asarray(boff),
+                jnp.asarray(blen),
                 jnp.asarray(self.n_units),
                 jnp.asarray(self.n_bytes),
                 jnp.asarray(self.indices.astype(np.int32)),
@@ -100,8 +123,13 @@ class PackedBucket:
         if not hasattr(self, "_device_ascii"):
             import jax.numpy as jnp
 
+            cp8 = (
+                self.cp
+                if self.cp.dtype == np.int8
+                else self.cp.astype(np.uint8).astype(np.int8)
+            )
             self._device_ascii = (
-                jnp.asarray(self.cp.astype(np.uint8).astype(np.int8)),
+                jnp.asarray(cp8),
                 jnp.asarray(self.n_units.astype(np.int32)[:, None]),
                 jnp.asarray(self.indices.astype(np.int32)),
             )
@@ -214,31 +242,53 @@ def pack_corpus(
                 counts_per[nxt] += counts_per[bi]
                 counts_per[bi] = 0
 
+    from . import native
+
     for bi, w in enumerate(widths):
         rows = np.nonzero(assigned == bi)[0]
         if rows.size == 0:
             continue
         b = rows.size
-        cp = np.zeros((b, w), np.int32)
-        first = np.zeros((b, w), np.int32)
-        prev = np.full((b, w), -1, np.int32)
-        boff = np.zeros((b, w), np.int32)
-        blen = np.zeros((b, w), np.int32)
-
         counts = unit_counts[rows]
-        # flat gather indices for each row's units (fully vectorized)
-        total = int(counts.sum())
-        unit_rows = np.repeat(np.arange(b), counts)
-        cum = np.zeros(b + 1, dtype=np.int64)
-        np.cumsum(counts, out=cum[1:])
-        col_idx = np.arange(total, dtype=np.int64) - cum[:-1][unit_rows]
-        src = starts[rows][unit_rows] + col_idx
 
-        cp[unit_rows, col_idx] = cp_flat[src]
-        first[unit_rows, col_idx] = first_flat[src]
-        prev[unit_rows, col_idx] = prev_last_flat[src]
-        boff[unit_rows, col_idx] = byte_off_flat[src]
-        blen[unit_rows, col_idx] = len_flat[src]
+        packed = None
+        if unicode:
+            nat = native.pack_rows_u32(
+                cp_flat.view(np.uint32)
+                if cp_flat.dtype == np.int32 else cp_flat.astype(np.uint32),
+                starts, rows, w,
+            )
+            if nat is not None:
+                cp, first, prev, boff, blen = nat
+                packed = True
+        else:
+            cp8 = native.pack_rows_u8(joined_b, starts, rows, w)
+            if cp8 is not None:
+                # int8 byte matrix; context arrays derive lazily on upload
+                cp, first, prev, boff, blen = cp8, None, None, None, None
+                packed = True
+
+        if packed is None:
+            # NumPy fallback (also the native packer's testing oracle)
+            cp = np.zeros((b, w), np.int32)
+            first = np.zeros((b, w), np.int32)
+            prev = np.full((b, w), -1, np.int32)
+            boff = np.zeros((b, w), np.int32)
+            blen = np.zeros((b, w), np.int32)
+
+            # flat gather indices for each row's units (fully vectorized)
+            total = int(counts.sum())
+            unit_rows = np.repeat(np.arange(b), counts)
+            cum = np.zeros(b + 1, dtype=np.int64)
+            np.cumsum(counts, out=cum[1:])
+            col_idx = np.arange(total, dtype=np.int64) - cum[:-1][unit_rows]
+            src = starts[rows][unit_rows] + col_idx
+
+            cp[unit_rows, col_idx] = cp_flat[src]
+            first[unit_rows, col_idx] = first_flat[src]
+            prev[unit_rows, col_idx] = prev_last_flat[src]
+            boff[unit_rows, col_idx] = byte_off_flat[src]
+            blen[unit_rows, col_idx] = len_flat[src]
 
         buckets.append(
             PackedBucket(

@@ -274,6 +274,21 @@ class LiteralEngine:
         )
         s.guard_against_score_overflow(len(self.needle_bytes), max_bonus, 0)
         self.min_haystack_len = 0
+        self.units = make_needle_units(needle, self.unicode, self.case_sensitive)
+        self._device_args = None
+
+    def _device_needle(self):
+        if self._device_args is None:
+            import jax.numpy as jnp
+
+            from .ops.fuzzy import scoring_vector
+
+            self._device_args = (
+                jnp.asarray(np.array(self.units.orig, np.int32)),
+                jnp.asarray(np.array(self.units.flip, np.int32)),
+                scoring_vector(self.config.scoring),
+            )
+        return self._device_args
 
     def match_one(self, haystack: str, index: int) -> Optional[Match]:
         data = haystack.encode("utf-8")
@@ -304,13 +319,44 @@ class LiteralEngine:
 
     def match_corpus(self, corpus: Corpus) -> MatchResult:
         out = MatchResult(len(corpus))
-        for i, h in enumerate(corpus.haystacks):
-            m = self.match_one(h, i)
+        if not self.units.orig:
+            return out
+        if self.use_device and corpus.unicode == self.unicode:
+            from .ops.fuzzy import SCORING_FIELDS
+            from .ops.literal import literal_match_bucket
+
+            orig, flip, sc = self._device_needle()
+            scoring = tuple(
+                int(getattr(self.config.scoring, f)) for f in SCORING_FIELDS
+            )
+            for bucket in corpus.buckets:
+                dev = bucket.device_arrays()
+                m, s, e, ec, _g, _ws, _we = [
+                    np.asarray(x)
+                    for x in literal_match_bucket(
+                        *dev[:7], orig, flip, sc,
+                        mode=self.config.matching.value,
+                        needle_byte_len=len(self.needle_bytes),
+                        scoring=scoring,
+                    )
+                ]
+                idx = bucket.indices
+                out.matched[idx] = m
+                out.score[idx] = s
+                out.exact[idx] = e & m
+                out.end_col[idx] = ec
+            rows = corpus.xl_indices
+        else:
+            rows = range(len(corpus.haystacks))
+        for i in rows:
+            m = self.match_one(corpus.haystacks[int(i)], int(i))
             if m is not None:
                 out.matched[i] = True
                 out.score[i] = m.score
                 out.exact[i] = m.exact
                 out.end_col[i] = m.end_col
+            else:
+                out.matched[i] = False
         return out
 
 

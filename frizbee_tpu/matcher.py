@@ -172,16 +172,12 @@ class Matcher:
     # -- public APIs -----------------------------------------------------------
 
     def _fused_supported(self) -> bool:
-        """The one-call device path covers: all patterns fuzzy, device
-        engines, one shared unicode packing."""
+        """The one-call device path covers fuzzy and literal patterns with
+        one shared unicode packing."""
         if not self._use_device or not self._compiled:
             return False
-        from .engine import FuzzyEngine
-
         modes = set()
         for cp in self._compiled:
-            if not isinstance(cp.engine, FuzzyEngine):
-                return False
             if not cp.engine.units.orig:
                 return False
             modes.add(cp.engine.unicode)
@@ -216,6 +212,9 @@ class Matcher:
                 tuple(
                     int(getattr(cp.config.scoring, f)) for f in SCORING_FIELDS
                 ),
+                cp.config.matching.value if not cp.config.matching.is_fuzzy
+                else "fuzzy",
+                len(cp.engine.needle_bytes),
             )
             for cp in self._compiled
         )
@@ -389,21 +388,39 @@ class Matcher:
             for j in range(len(index))
         ]
 
-    def match_list_indices(self, haystacks: Sequence[str]) -> List[MatchIndices]:
+    def match_list_indices(
+        self, haystacks: Union[Sequence[str], Corpus]
+    ) -> List[MatchIndices]:
         """Batch matching with matched-character indices; not the hot path
-        (reference: src/matcher/mod.rs:229-270)."""
+        (reference: src/matcher/mod.rs:229-270).
+
+        The device pass selects and orders the matches; the traceback walk
+        (host-side, like the reference's alignment_iter) only runs on the
+        matching rows."""
         if not self._compiled:
             matches = [MatchIndices.from_index(i) for i in range(len(haystacks))]
             if self._config.sort.is_reversed:
                 matches.reverse()
             return matches
+        hay = (
+            haystacks.haystacks
+            if isinstance(haystacks, Corpus)
+            else haystacks
+        )
+        if self._use_device:
+            index = sorted(int(i) for i in self.match_arrays(haystacks)[0])
+        else:
+            index = [
+                i for i in range(len(hay))
+                if self.match_one(hay[i], i) is not None
+            ]
+        if self._config.sort.is_reversed:
+            index = index[::-1]
         out: List[MatchIndices] = []
-        for i, h in enumerate(haystacks):
-            m = self.match_one_indices(h, i)
+        for i in index:
+            m = self.match_one_indices(hay[int(i)], int(i))
             if m is not None:
                 out.append(m)
-        if self._config.sort.is_reversed:
-            out.reverse()
         if self._config.sort.is_by_score:
             out.sort(key=lambda m: -m.score)  # stable, score only
         return out

@@ -1,0 +1,132 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+Builds on first use with the system toolchain into a cache directory; the
+NumPy implementations remain as fallbacks and as the differential-testing
+oracles, so a missing compiler only costs packing speed, never correctness.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "packer.cpp")
+_CACHE = os.environ.get(
+    "FRIZBEE_TPU_NATIVE_DIR",
+    os.path.expanduser("~/.cache/frizbee_tpu_native"),
+)
+_LOCK = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> Optional[str]:
+    os.makedirs(_CACHE, exist_ok=True)
+    so = os.path.join(_CACHE, "packer.so")
+    src_mtime = os.path.getmtime(_SRC)
+    if os.path.exists(so) and os.path.getmtime(so) >= src_mtime:
+        return so
+    cmd = [
+        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+        _SRC, "-o", so + ".tmp",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(so + ".tmp", so)
+        return so
+    except Exception:
+        return None
+
+
+def get_lib():
+    """The loaded native library, or None when unavailable."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    with _LOCK:
+        if _tried:
+            return _lib
+        so = _build()
+        if so is not None:
+            try:
+                lib = ctypes.CDLL(so)
+                i64p = ctypes.POINTER(ctypes.c_int64)
+                lib.pack_rows_u8.argtypes = [
+                    ctypes.c_char_p, i64p, i64p, ctypes.c_int64,
+                    ctypes.c_int64, ctypes.c_void_p,
+                ]
+                lib.pack_rows_u32.argtypes = [
+                    ctypes.c_void_p, i64p, i64p, ctypes.c_int64,
+                    ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ]
+                lib.utf8_lengths.argtypes = [
+                    ctypes.c_void_p, i64p, ctypes.c_int64, i64p,
+                ]
+                _lib = lib
+            except Exception:
+                _lib = None
+        _tried = True
+        return _lib
+
+
+def _i64p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def pack_rows_u8(joined: bytes, starts: np.ndarray, rows: np.ndarray,
+                 width: int) -> Optional[np.ndarray]:
+    """(len(rows), width) int8 zero-padded byte matrix, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    starts = np.ascontiguousarray(starts, np.int64)
+    rows = np.ascontiguousarray(rows, np.int64)
+    out = np.empty((len(rows), width), np.int8)
+    lib.pack_rows_u8(
+        joined, _i64p(starts), _i64p(rows),
+        ctypes.c_int64(len(rows)), ctypes.c_int64(width),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
+
+
+def pack_rows_u32(joined_u32: np.ndarray, starts: np.ndarray,
+                  rows: np.ndarray, width: int):
+    """(cp, first, prev, boff, blen) int32 matrices, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    starts = np.ascontiguousarray(starts, np.int64)
+    rows = np.ascontiguousarray(rows, np.int64)
+    joined_u32 = np.ascontiguousarray(joined_u32, np.uint32)
+    b = len(rows)
+    outs = [np.empty((b, width), np.int32) for _ in range(5)]
+    lib.pack_rows_u32(
+        joined_u32.ctypes.data_as(ctypes.c_void_p),
+        _i64p(starts), _i64p(rows),
+        ctypes.c_int64(b), ctypes.c_int64(width),
+        *[o.ctypes.data_as(ctypes.c_void_p) for o in outs],
+    )
+    return tuple(outs)
+
+
+def utf8_lengths(joined_u32: np.ndarray, starts: np.ndarray
+                 ) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    starts = np.ascontiguousarray(starts, np.int64)
+    joined_u32 = np.ascontiguousarray(joined_u32, np.uint32)
+    n = len(starts) - 1
+    out = np.empty(n, np.int64)
+    lib.utf8_lengths(
+        joined_u32.ctypes.data_as(ctypes.c_void_p), _i64p(starts),
+        ctypes.c_int64(n), _i64p(out),
+    )
+    return out

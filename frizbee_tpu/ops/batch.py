@@ -22,13 +22,16 @@ import jax.numpy as jnp
 
 from .ascii_kernel import fuzzy_match_ascii
 from .fuzzy import fuzzy_pipeline
+from .literal import literal_pipeline, literal_pipeline_ascii
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
+
+FUZZY_MODE = "fuzzy"
 
 
 def _dense_pattern_result(
     buckets, needle_orig, needle_flip, sc, n,
-    *, max_typos, no_prefilter, use_kernel, scoring,
+    *, max_typos, no_prefilter, use_kernel, scoring, mode, needle_byte_len,
 ):
     """Run one pattern over every bucket, scattered into dense (n,) arrays."""
     matched = jnp.zeros((n,), jnp.bool_)
@@ -41,7 +44,7 @@ def _dense_pattern_result(
         if use_kernel else None
     )
     for b in buckets:
-        if use_kernel:
+        if use_kernel and mode == FUZZY_MODE:
             # Fused Pallas path (ASCII buckets are <= MAX_HAYSTACK_LEN wide,
             # so the greedy fallback can never trigger)
             cp8, nu2, idx = b
@@ -51,11 +54,23 @@ def _dense_pattern_result(
                 scoring=scoring,
             )
             g = jnp.zeros_like(m)
-        else:
+        elif use_kernel:
+            cp8, nu2, idx = b
+            m, s, e, ec, g, _ws, _we = literal_pipeline_ascii(
+                cp8, nu2, needle_orig, needle_flip, sc,
+                mode=mode, needle_byte_len=needle_byte_len, scoring=scoring,
+            )
+        elif mode == FUZZY_MODE:
             cp, fb, plb, boff, blen, nu, nb, idx = b
             m, s, e, ec, g, _ws, _we = fuzzy_pipeline(
                 cp, fb, plb, boff, blen, nu, nb, needle_orig, needle_flip, sc,
                 max_typos=max_typos, no_prefilter=no_prefilter,
+            )
+        else:
+            cp, fb, plb, boff, blen, nu, nb, idx = b
+            m, s, e, ec, g, _ws, _we = literal_pipeline(
+                cp, fb, plb, boff, blen, nu, nb, needle_orig, needle_flip, sc,
+                mode=mode, needle_byte_len=needle_byte_len, scoring=scoring,
             )
         matched = matched.at[idx].set(m)
         score = score.at[idx].set(s)
@@ -93,12 +108,13 @@ def _fused_match_body(
     c_end = jnp.zeros((n,), jnp.int32)
     c_greedy = jnp.zeros((n,), jnp.bool_)
 
-    for (orig, flip, sc), (typos, nopre, negated, scoring) in zip(
-        patterns, pattern_statics
-    ):
+    for (orig, flip, sc), (
+        typos, nopre, negated, scoring, mode, nbl
+    ) in zip(patterns, pattern_statics):
         m, s, e, ec, g = _dense_pattern_result(
             buckets, orig, flip, sc, n, max_typos=typos, no_prefilter=nopre,
-            use_kernel=use_kernel, scoring=scoring,
+            use_kernel=use_kernel, scoring=scoring, mode=mode,
+            needle_byte_len=nbl,
         )
         if negated:
             c_matched = c_matched & ~m

@@ -139,12 +139,13 @@ def pad_bucket_for_mesh(bucket, n_shards: int):
         )
 
     row_index = pad_rows(bucket.indices.astype(np.int32), int(PAD_INDEX))
+    cp, first, prev, boff, blen = bucket._full_arrays()
     return (
-        pad_rows(bucket.cp),
-        pad_rows(bucket.first_byte),
-        pad_rows(bucket.prev_last_byte, -1),
-        pad_rows(bucket.byte_off),
-        pad_rows(bucket.byte_len),
+        pad_rows(cp),
+        pad_rows(first),
+        pad_rows(prev, -1),
+        pad_rows(boff),
+        pad_rows(blen),
         pad_rows(bucket.n_units),
         pad_rows(bucket.n_bytes),
         row_index,

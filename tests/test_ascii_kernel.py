@@ -35,14 +35,15 @@ def _kernel_vs_jnp(haystacks, needle, typos, widths=(128,)):
     corpus = pack_corpus(haystacks, unicode=False, bucket_widths=widths)
     assert corpus.buckets, "corpus collapsed to XL only"
     for b in corpus.buckets:
+        cp, first, prev, boff, blen = b._full_arrays()
         ref = fuzzy_pipeline(
-            jnp.asarray(b.cp), jnp.asarray(b.first_byte),
-            jnp.asarray(b.prev_last_byte), jnp.asarray(b.byte_off),
-            jnp.asarray(b.byte_len), jnp.asarray(b.n_units),
+            jnp.asarray(cp), jnp.asarray(first),
+            jnp.asarray(prev), jnp.asarray(boff),
+            jnp.asarray(blen), jnp.asarray(b.n_units),
             jnp.asarray(b.n_bytes), orig, flip, sc,
             max_typos=t, no_prefilter=nopre,
         )
-        cp8 = jnp.asarray(b.cp.astype(np.uint8).astype(np.int8))
+        cp8 = jnp.asarray(cp.astype(np.uint8).astype(np.int8))
         nu = jnp.asarray(b.n_units.astype(np.int32)[:, None])
         m, s, e, ec = fuzzy_match_ascii(
             cp8, nu, packed, max_typos=t, no_prefilter=nopre,

@@ -12,6 +12,9 @@ def check(haystacks, unicode):
     corpus = pack_corpus(haystacks, unicode=unicode)
     seen = set()
     for bucket in corpus.buckets:
+        cp, first_byte, prev_last_byte, byte_off, byte_len = (
+            bucket._full_arrays()
+        )
         for r in range(bucket.size):
             idx = int(bucket.indices[r])
             seen.add(idx)
@@ -21,13 +24,13 @@ def check(haystacks, unicode):
             assert bucket.n_units[r] == m
             assert bucket.n_bytes[r] == len(h)
             assert m <= bucket.width
-            np.testing.assert_array_equal(bucket.cp[r, :m], units.cp)
-            np.testing.assert_array_equal(bucket.first_byte[r, :m], units.first_byte)
+            np.testing.assert_array_equal(cp[r, :m], units.cp)
+            np.testing.assert_array_equal(first_byte[r, :m], units.first_byte)
             np.testing.assert_array_equal(
-                bucket.prev_last_byte[r, :m], units.prev_last_byte
+                prev_last_byte[r, :m], units.prev_last_byte
             )
-            np.testing.assert_array_equal(bucket.byte_off[r, :m], units.byte_off)
-            np.testing.assert_array_equal(bucket.byte_len[r, :m], units.byte_len)
+            np.testing.assert_array_equal(byte_off[r, :m], units.byte_off)
+            np.testing.assert_array_equal(byte_len[r, :m], units.byte_len)
     for idx in corpus.xl_indices:
         seen.add(int(idx))
     assert seen == set(range(len(haystacks)))
