@@ -207,6 +207,9 @@ def _sw_body(needle_ref, hay, nu, wstart_raw, wend, col, n, width, scoring):
         prev_row = _cummax_lanes(c + q, col, width) - q
         prev_mm = match
 
+    # Mask lanes past the window: their mismatch-decayed values can exceed
+    # the true in-window max (jnp twin has the same mask)
+    prev_row = jnp.where(active, prev_row, 0)
     score = jnp.maximum(jnp.max(prev_row, axis=1, keepdims=True), 0)
     end_unit = jnp.min(
         jnp.where(prev_row == score, col, BIG), axis=1, keepdims=True
@@ -285,6 +288,9 @@ def prefilter_ascii(
         out_shape=jax.ShapeDtypeStruct((Bp, 3), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
     )(needle_packed, cp, n_units)
     return out[:B]
 
@@ -365,6 +371,9 @@ def sw_ascii(
         out_shape=jax.ShapeDtypeStruct((Bp, 3), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
     )(scalars, cp, n_units, wstart_raw, wend)
     return out[:B]
 

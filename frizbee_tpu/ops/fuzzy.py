@@ -266,6 +266,10 @@ def sw_score_bucket(
         (needle_orig, needle_flip),
     )
 
+    # Lanes past the window accumulate mismatch-decayed values that can
+    # exceed the true in-window max (the reference DPs only the trimmed
+    # window, src/matcher/algo.rs:332-338) — mask them out of the result
+    final_row = jnp.where(active, final_row, 0)
     score = jnp.max(final_row, axis=1, initial=0)
     # end column: first column holding the max, reported at the unit's start
     # byte (reference: src/smith_waterman/algo/mod.rs:166-198)
