@@ -63,17 +63,30 @@ __all__ = [
     "Scoring",
     "SortStrategy",
     "UnicodeMatching",
+    "fuzzy_match",
+    "fuzzy_match_indices",
+    "match_arrays_batch",
     "match_list",
     "match_list_indices",
     "match_list_parallel",
+    "sort_matches",
 ]
+
+_MATCHER_EXPORTS = (
+    "Matcher", "match_list", "match_list_indices", "match_list_parallel",
+    "match_arrays_batch", "fuzzy_match", "fuzzy_match_indices",
+)
 
 
 def __getattr__(name):
-    # Lazy imports keep `import frizbee_tpu` light (no jax import) for
-    # config/pattern-only uses
-    if name in ("Matcher", "match_list", "match_list_indices", "match_list_parallel"):
+    # Lazy imports keep `import frizbee_tpu` light for config/pattern-only
+    # uses
+    if name in _MATCHER_EXPORTS:
         from . import matcher as _m
 
         return getattr(_m, name)
+    if name == "sort_matches":
+        from .sort import sort_matches
+
+        return sort_matches
     raise AttributeError(f"module 'frizbee_tpu' has no attribute {name!r}")

@@ -219,3 +219,28 @@ class Config:
 
     def with_(self, **kwargs) -> "Config":
         return replace(self, **kwargs)
+
+    # JSON round-tripping (the analog of the reference's optional serde
+    # derives, src/lib.rs:107-108)
+    def to_dict(self) -> dict:
+        import dataclasses
+
+        d = dataclasses.asdict(self)
+        for k in ("casing", "unicode", "matching", "sort"):
+            d[k] = d[k].value
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        d = dict(d)
+        if "casing" in d:
+            d["casing"] = CaseMatching(d["casing"])
+        if "unicode" in d:
+            d["unicode"] = UnicodeMatching(d["unicode"])
+        if "matching" in d:
+            d["matching"] = Matching(d["matching"])
+        if "sort" in d:
+            d["sort"] = SortStrategy(d["sort"])
+        if isinstance(d.get("scoring"), dict):
+            d["scoring"] = Scoring(**d["scoring"])
+        return cls(**d)

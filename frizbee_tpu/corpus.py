@@ -23,9 +23,10 @@ import numpy as np
 # where windows larger than the DP cap fall back to the greedy matcher
 # (reference: src/smith_waterman/algo/mod.rs:18).
 DEFAULT_BUCKETS: Tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024)
-# ASCII corpora pack to lane-aligned widths so the fused Pallas kernels
+# Default corpora pack to lane-aligned widths so the fused Pallas kernels
 # (ops/ascii_kernel.py) see 128-multiple rows.
-ASCII_BUCKETS: Tuple[int, ...] = (128, 256, 512, 1024)
+LANE_BUCKETS: Tuple[int, ...] = (128, 256, 512, 1024)
+ASCII_BUCKETS = LANE_BUCKETS  # back-compat alias
 
 
 def _utf8_lead_byte(cp: np.ndarray) -> np.ndarray:
@@ -135,6 +136,19 @@ class PackedBucket:
             )
         return self._device_ascii
 
+    def device_arrays_units(self):
+        """Kernel-path device arrays for codepoint (unicode) packing:
+        (cp int32 (B,W), n_units (B,1) i32, indices (B,) i32)."""
+        if not hasattr(self, "_device_units"):
+            import jax.numpy as jnp
+
+            self._device_units = (
+                jnp.asarray(self.cp.astype(np.int32)),
+                jnp.asarray(self.n_units.astype(np.int32)[:, None]),
+                jnp.asarray(self.indices.astype(np.int32)),
+            )
+        return self._device_units
+
 
 @dataclass
 class Corpus:
@@ -166,7 +180,7 @@ def pack_corpus(
     bucket_widths: Optional[Sequence[int]] = None,
 ) -> Corpus:
     if bucket_widths is None:
-        bucket_widths = DEFAULT_BUCKETS if unicode else ASCII_BUCKETS
+        bucket_widths = LANE_BUCKETS
     n = len(haystacks)
     if n == 0:
         return Corpus(list(haystacks), unicode, [], np.zeros(0, np.int64))

@@ -134,6 +134,46 @@ def all_match_corpus(median_length: int = 64,
     )
 
 
+_SCRIPT_RANGES = {
+    # (codepoint ranges, space probability) — synthetic analogs of the
+    # reference's Arabic/Korean sentence datasets (BENCHMARKS.md:67-105):
+    # ~40-45 byte sentences of multi-byte script text with ASCII spaces
+    "arabic": ((0x0621, 0x064A),),
+    "korean": ((0xAC00, 0xD7A3),),
+    "greek": ((0x03B1, 0x03C9),),
+}
+
+
+def unicode_corpus(script: str = "arabic",
+                   num_samples: int = 280_000,
+                   median_units: int = 20,
+                   needle_every: int = 50,
+                   needle: str = "",
+                   seed: int = 42) -> List[str]:
+    """Synthetic unicode sentence corpus. Every ``needle_every``-th row has
+    the needle's codepoints embedded in order (so default-config matching
+    keeps a realistic survivor rate)."""
+    rng = np.random.default_rng(seed)
+    lo_hi = _SCRIPT_RANGES[script]
+    lo, hi = lo_hi[0]
+    lengths = np.maximum(
+        np.abs(np.round(rng.normal(median_units, median_units // 4,
+                                   num_samples))), 2
+    ).astype(np.int64)
+    out: List[str] = []
+    needle_arr = np.array([ord(c) for c in needle], dtype=np.uint32)
+    for i in range(num_samples):
+        n = int(lengths[i])
+        cps = rng.integers(lo, hi + 1, size=n, dtype=np.uint32)
+        spaces = rng.random(n) < 0.15
+        cps = np.where(spaces, np.uint32(0x20), cps)
+        if needle and i % needle_every == 0 and n >= len(needle_arr):
+            idx = np.sort(rng.permutation(n)[: len(needle_arr)])
+            cps[idx] = needle_arr
+        out.append("".join(map(chr, cps)))
+    return out
+
+
 def no_match_corpus(median_length: int = 64,
                     num_samples: int = 100_000,
                     seed: int = 42,

@@ -189,8 +189,7 @@ class Matcher:
         from .ops.fuzzy import SCORING_FIELDS
 
         use_kernel = (
-            not corpus.unicode
-            and all(
+            all(
                 b.width % 128 == 0 and b.width <= 1024
                 for b in corpus.buckets
             )
@@ -198,8 +197,17 @@ class Matcher:
                 len(cp.engine.units.orig) <= MAX_KERNEL_NEEDLE
                 for cp in self._compiled
             )
+            # unicode literal patterns need the full byte-context arrays
+            and not (
+                corpus.unicode
+                and any(
+                    not cp.config.matching.is_fuzzy for cp in self._compiled
+                )
+            )
         )
-        if use_kernel:
+        if use_kernel and corpus.unicode:
+            buckets = tuple(b.device_arrays_units() for b in corpus.buckets)
+        elif use_kernel:
             buckets = tuple(b.device_arrays_ascii() for b in corpus.buckets)
         else:
             buckets = tuple(b.device_arrays() for b in corpus.buckets)
@@ -248,6 +256,7 @@ class Matcher:
             pattern_statics=statics,
             sort_by_score=strategy.is_by_score,
             use_kernel=use_kernel,
+            unicode=corpus.unicode,
         )
         # One fetch covers the count + the first fetch_rows matches; a
         # second fetch only happens for very large result sets
@@ -546,6 +555,29 @@ def match_list_parallel(
     return Matcher(needle, config, **kw).match_list_parallel(haystacks, shards)
 
 
+def fuzzy_match(
+    haystacks: Iterable[str],
+    needle: str,
+    config: Optional[Config] = None,
+    **kw,
+) -> Iterator[Match]:
+    """Lazy matching over any string iterable (reference:
+    src/matcher/iter.rs FuzzyMatchExt::fuzzy_match). Unsorted; yields in
+    input order."""
+    return Matcher(needle, config, **kw).match_iter(haystacks)
+
+
+def fuzzy_match_indices(
+    haystacks: Iterable[str],
+    needle: str,
+    config: Optional[Config] = None,
+    **kw,
+) -> Iterator[MatchIndices]:
+    """Lazy matching with matched-byte indices (reference:
+    src/matcher/iter.rs FuzzyMatchExt::fuzzy_match_indices)."""
+    return Matcher(needle, config, **kw).match_iter_indices(haystacks)
+
+
 def match_arrays_batch(
     queries: Sequence[Union[str, "Matcher"]],
     corpus: Union[Sequence[str], Corpus],
@@ -612,6 +644,7 @@ def match_arrays_batch(
             pattern_statics=statics,
             sort_by_score=config.sort.is_by_score,
             use_kernel=use_kernel,
+            unicode=corpus.unicode,
             fetch_rows=min(fetch_rows, len(corpus)),
         )
         all_rows = np.asarray(out)  # ONE fetch for the whole group

@@ -20,7 +20,7 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from .ascii_kernel import fuzzy_match_ascii
+from .ascii_kernel import fuzzy_match_units
 from .fuzzy import fuzzy_pipeline
 from .literal import literal_pipeline, literal_pipeline_ascii
 
@@ -32,6 +32,7 @@ FUZZY_MODE = "fuzzy"
 def _dense_pattern_result(
     buckets, needle_orig, needle_flip, sc, n,
     *, max_typos, no_prefilter, use_kernel, scoring, mode, needle_byte_len,
+    unicode=False,
 ):
     """Run one pattern over every bucket, scattered into dense (n,) arrays."""
     matched = jnp.zeros((n,), jnp.bool_)
@@ -45,15 +46,18 @@ def _dense_pattern_result(
     )
     for b in buckets:
         if use_kernel and mode == FUZZY_MODE:
-            # Fused Pallas path (ASCII buckets are <= MAX_HAYSTACK_LEN wide,
-            # so the greedy fallback can never trigger)
-            cp8, nu2, idx = b
-            m, s, e, ec = fuzzy_match_ascii(
-                cp8, nu2, needle_packed,
+            # Fused Pallas path (byte or codepoint units)
+            cp_units, nu2, idx = b
+            m, s, e, ec, g = fuzzy_match_units(
+                cp_units, nu2, needle_packed,
                 max_typos=max_typos, no_prefilter=no_prefilter,
-                scoring=scoring,
+                scoring=scoring, unicode=unicode,
             )
-            g = jnp.zeros_like(m)
+        elif use_kernel and unicode:
+            # unicode literal: rebuild context from codepoints is not
+            # implemented for the int32 kernel representation; the caller
+            # routes unicode literal patterns through the jnp path instead
+            raise NotImplementedError
         elif use_kernel:
             cp8, nu2, idx = b
             m, s, e, ec, g, _ws, _we = literal_pipeline_ascii(
@@ -100,7 +104,8 @@ def _sort_matches_desc(matched, score, exact, end_col, greedy, index):
 
 
 def _fused_match_body(
-    buckets, patterns, xl_mask, n, pattern_statics, sort_by_score, use_kernel
+    buckets, patterns, xl_mask, n, pattern_statics, sort_by_score,
+    use_kernel, unicode
 ):
     c_matched = jnp.ones((n,), jnp.bool_)
     c_score = jnp.zeros((n,), jnp.int32)
@@ -114,7 +119,7 @@ def _fused_match_body(
         m, s, e, ec, g = _dense_pattern_result(
             buckets, orig, flip, sc, n, max_typos=typos, no_prefilter=nopre,
             use_kernel=use_kernel, scoring=scoring, mode=mode,
-            needle_byte_len=nbl,
+            needle_byte_len=nbl, unicode=unicode,
         )
         if negated:
             c_matched = c_matched & ~m
@@ -148,7 +153,9 @@ def _fused_match_body(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "pattern_statics", "sort_by_score", "use_kernel"),
+    static_argnames=(
+        "n", "pattern_statics", "sort_by_score", "use_kernel", "unicode"
+    ),
 )
 def fused_match_sorted(
     buckets,  # per-bucket tuples: jnp 8-tuples, or kernel 3-tuples
@@ -160,6 +167,7 @@ def fused_match_sorted(
     pattern_statics: Tuple[Tuple[int, bool, bool, Tuple[int, ...]], ...],
     sort_by_score: bool = True,
     use_kernel: bool = False,
+    unicode: bool = False,
 ):
     """One-call corpus match. Returns out (1+n, 3) int32.
 
@@ -172,14 +180,15 @@ def fused_match_sorted(
     """
     return _fused_match_body(
         buckets, patterns, xl_mask, n, pattern_statics, sort_by_score,
-        use_kernel,
+        use_kernel, unicode,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n", "pattern_statics", "sort_by_score", "use_kernel", "fetch_rows"
+        "n", "pattern_statics", "sort_by_score", "use_kernel", "unicode",
+        "fetch_rows",
     ),
 )
 def fused_match_sorted_batch(
@@ -192,6 +201,7 @@ def fused_match_sorted_batch(
     pattern_statics: Tuple,  # shared by every query in the batch
     sort_by_score: bool = True,
     use_kernel: bool = False,
+    unicode: bool = False,
     fetch_rows: int = 6144,
 ):
     """Pipelined serving: match Q shape-uniform queries against one resident
@@ -208,7 +218,7 @@ def fused_match_sorted_batch(
     def body(carry, patterns):
         out = _fused_match_body(
             buckets, patterns, xl_mask, n, pattern_statics, sort_by_score,
-            use_kernel,
+            use_kernel, unicode,
         )
         return carry, out[: 1 + fetch_rows]
 
