@@ -29,6 +29,19 @@ LANE_BUCKETS: Tuple[int, ...] = (128, 256, 512, 1024)
 ASCII_BUCKETS = LANE_BUCKETS  # back-compat alias
 
 
+def _size_class(b: int) -> int:
+    """Smallest {2^k * m/4 : m in 4..7} >= b (min 256): coarse row-count
+    classes bound padding waste at 25% while collapsing program shapes so
+    the persistent compilation cache hits across corpora."""
+    c = 256
+    while True:
+        for m in (4, 5, 6, 7):
+            cand = (c * m) // 4
+            if cand >= b:
+                return cand
+        c *= 2
+
+
 def _utf8_lead_byte(cp: np.ndarray) -> np.ndarray:
     """First UTF-8 byte of each codepoint (vectorized)."""
     out = np.where(cp < 0x80, cp, 0)
@@ -242,7 +255,9 @@ def pack_corpus(
     # bucket costs a kernel instantiation (minutes of compile on
     # remote-compile TPU setups) and a dispatch, so only population-heavy
     # widths earn their keep. Padding waste for the merged rows is bounded
-    # by the 2x width step.
+    # by the 2x width step. Row counts are then quantized to coarse size
+    # classes (see _size_class) so differently sized corpora share
+    # compiled programs.
     min_rows = max(1024, n // 32)
     counts_per = [int(np.sum(assigned == bi)) for bi in range(len(widths))]
     for bi in range(len(widths) - 1):
@@ -262,8 +277,14 @@ def pack_corpus(
         rows = np.nonzero(assigned == bi)[0]
         if rows.size == 0:
             continue
-        b = rows.size
-        counts = unit_counts[rows]
+        # Pad row count to a size class with empty rows (index sentinel
+        # -1, zero units — they can never match) so program shapes repeat
+        # across corpora and the compilation cache hits.
+        b = _size_class(rows.size)
+        pad = b - rows.size
+        if pad:
+            rows = np.concatenate([rows, np.full(pad, -1, np.int64)])
+        counts = np.where(rows >= 0, unit_counts[np.maximum(rows, 0)], 0)
 
         packed = None
         if unicode:
@@ -314,7 +335,9 @@ def pack_corpus(
                 byte_off=boff,
                 byte_len=blen,
                 n_units=counts.astype(np.int32),
-                n_bytes=nbytes[rows].astype(np.int32),
+                n_bytes=np.where(
+                    rows >= 0, nbytes[np.maximum(rows, 0)], 0
+                ).astype(np.int32),
             )
         )
 

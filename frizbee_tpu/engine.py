@@ -99,7 +99,8 @@ class FuzzyEngine:
         else:
             for bucket in corpus.buckets:
                 for i in bucket.indices:
-                    self._host_row(corpus.haystacks[int(i)], int(i), out)
+                    if i >= 0:  # skip size-class padding rows
+                        self._host_row(corpus.haystacks[int(i)], int(i), out)
         for i in corpus.xl_indices:
             self._host_row(corpus.haystacks[int(i)], int(i), out)
         return out
@@ -124,14 +125,16 @@ class FuzzyEngine:
                     no_prefilter=no_prefilter,
                 )
             ]
-            idx = bucket.indices
-            out.matched[idx] = matched
-            out.score[idx] = score
-            out.exact[idx] = exact
-            out.end_col[idx] = np.minimum(end_col, U16_MAX)
+            real = bucket.indices >= 0  # skip size-class padding rows
+            idx = bucket.indices[real]
+            out.matched[idx] = matched[real]
+            out.score[idx] = score[real]
+            out.exact[idx] = exact[real]
+            out.end_col[idx] = np.minimum(end_col[real], U16_MAX)
             # Greedy rows: rescore on the host
-            for r in np.nonzero(needs_greedy)[0]:
-                self._host_row(corpus.haystacks[int(idx[r])], int(idx[r]), out)
+            for r in np.nonzero(needs_greedy & real)[0]:
+                i = int(bucket.indices[r])
+                self._host_row(corpus.haystacks[i], i, out)
 
     # -- host path (oracle semantics) ---------------------------------------
 
@@ -340,11 +343,12 @@ class LiteralEngine:
                         scoring=scoring,
                     )
                 ]
-                idx = bucket.indices
-                out.matched[idx] = m
-                out.score[idx] = s
-                out.exact[idx] = e & m
-                out.end_col[idx] = ec
+                real = bucket.indices >= 0  # skip size-class padding rows
+                idx = bucket.indices[real]
+                out.matched[idx] = m[real]
+                out.score[idx] = s[real]
+                out.exact[idx] = (e & m)[real]
+                out.end_col[idx] = ec[real]
             rows = corpus.xl_indices
         else:
             rows = range(len(corpus.haystacks))

@@ -185,7 +185,7 @@ class Matcher:
 
     def _fused_device_args(self, corpus: Corpus):
         """(buckets, patterns, statics, use_kernel) for the fused jits."""
-        from .ops.ascii_kernel import MAX_KERNEL_NEEDLE
+        from .ops.kernels import MAX_KERNEL_NEEDLE
         from .ops.fuzzy import SCORING_FIELDS
 
         use_kernel = (
@@ -228,6 +228,28 @@ class Matcher:
         )
         return buckets, patterns, statics, use_kernel
 
+    def _score_bound(self) -> int:
+        """Strict static upper bound on any combined match score; lets the
+        device sort pack (score, index) into one int32 key. Per char a
+        match can earn at most match + matching_case + max(capitalization,
+        delimiter) (the two context bonuses are mutually exclusive), plus
+        the one-time prefix and exact bonuses per pattern."""
+        total = 0
+        for cp in self._compiled:
+            if cp.negated:
+                continue
+            s = cp.config.scoring
+            per_char = (
+                s.match_score
+                + s.matching_case_bonus
+                + max(s.capitalization_bonus, s.delimiter_bonus)
+            )
+            n_units = len(cp.engine.units.orig)
+            total += (
+                n_units * per_char + s.prefix_bonus + s.exact_match_bonus
+            )
+        return min(total, 0xFFFF)
+
     @staticmethod
     def _decode_rows(rows: np.ndarray) -> tuple:
         """Unpack fetched [index, score, packed] rows."""
@@ -257,6 +279,7 @@ class Matcher:
             sort_by_score=strategy.is_by_score,
             use_kernel=use_kernel,
             unicode=corpus.unicode,
+            score_bound=self._score_bound(),
         )
         # One fetch covers the count + the first fetch_rows matches; a
         # second fetch only happens for very large result sets
@@ -501,18 +524,16 @@ class Matcher:
         runs: List[List[Match]] = []
         for s in range(0, len(haystacks), chunk):
             sub = haystacks[s : s + chunk]
-            res = self._match_result(sub)
-            idxs = np.nonzero(res.matched)[0]
-            run = [
+            index, score, exact, end_col = self.match_arrays(sub)
+            runs.append([
                 Match(
-                    score=int(res.score[i]),
-                    index=int(i) + s,
-                    exact=bool(res.exact[i]),
-                    end_col=int(res.end_col[i]),
+                    score=int(score[j]),
+                    index=int(index[j]) + s,
+                    exact=bool(exact[j]),
+                    end_col=int(end_col[j]),
                 )
-                for i in idxs
-            ]
-            runs.append(sort_matches(run, self._config.sort))
+                for j in range(len(index))
+            ])
         return k_merge(runs, self._config.sort)
 
 
@@ -645,6 +666,7 @@ def match_arrays_batch(
             sort_by_score=config.sort.is_by_score,
             use_kernel=use_kernel,
             unicode=corpus.unicode,
+            score_bound=matchers[members[0]]._score_bound(),
             fetch_rows=min(fetch_rows, len(corpus)),
         )
         all_rows = np.asarray(out)  # ONE fetch for the whole group

@@ -23,10 +23,14 @@ void pack_rows_u8(const uint8_t* joined, const int64_t* starts,
 #pragma omp parallel for schedule(static)
     for (int64_t r = 0; r < nrows; ++r) {
         int64_t row = rows[r];
+        int8_t* dst = out + r * width;
+        if (row < 0) {  // size-class padding row
+            std::memset(dst, 0, (size_t)width);
+            continue;
+        }
         int64_t s = starts[row];
         int64_t len = starts[row + 1] - s;
         if (len > width) len = width;
-        int8_t* dst = out + r * width;
         std::memcpy(dst, joined + s, (size_t)len);
         if (len < width) std::memset(dst + len, 0, (size_t)(width - len));
     }
@@ -43,10 +47,13 @@ void pack_rows_u32(const uint32_t* joined, const int64_t* starts,
 #pragma omp parallel for schedule(static)
     for (int64_t r = 0; r < nrows; ++r) {
         int64_t row = rows[r];
-        int64_t s = starts[row];
-        int64_t len = starts[row + 1] - s;
-        if (len > width) len = width;
         int64_t base = r * width;
+        int64_t s = 0, len = 0;
+        if (row >= 0) {  // row < 0: size-class padding, emit empty
+            s = starts[row];
+            len = starts[row + 1] - s;
+            if (len > width) len = width;
+        }
         int32_t off = 0;
         int32_t prevb = -1;
         for (int64_t k = 0; k < len; ++k) {

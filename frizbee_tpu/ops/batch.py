@@ -20,7 +20,7 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from .ascii_kernel import fuzzy_match_units
+from .kernels import fuzzy_match_units
 from .fuzzy import fuzzy_pipeline
 from .literal import literal_pipeline, literal_pipeline_ascii
 
@@ -29,59 +29,48 @@ INT32_MAX = jnp.iinfo(jnp.int32).max
 FUZZY_MODE = "fuzzy"
 
 
-def _dense_pattern_result(
-    buckets, needle_orig, needle_flip, sc, n,
+def _bucket_pattern_result(
+    b, needle_orig, needle_flip, sc,
     *, max_typos, no_prefilter, use_kernel, scoring, mode, needle_byte_len,
     unicode=False,
 ):
-    """Run one pattern over every bucket, scattered into dense (n,) arrays."""
-    matched = jnp.zeros((n,), jnp.bool_)
-    score = jnp.zeros((n,), jnp.int32)
-    exact = jnp.zeros((n,), jnp.bool_)
-    end_col = jnp.zeros((n,), jnp.int32)
-    greedy = jnp.zeros((n,), jnp.bool_)
+    """One pattern over one bucket -> (matched, score, exact, end_col,
+    greedy), each sized to the bucket's rows."""
     needle_packed = (
         jnp.concatenate([needle_orig, needle_flip]).astype(jnp.int32)
-        if use_kernel else None
+        if use_kernel and mode == FUZZY_MODE else None
     )
-    for b in buckets:
-        if use_kernel and mode == FUZZY_MODE:
-            # Fused Pallas path (byte or codepoint units)
-            cp_units, nu2, idx = b
-            m, s, e, ec, g = fuzzy_match_units(
-                cp_units, nu2, needle_packed,
-                max_typos=max_typos, no_prefilter=no_prefilter,
-                scoring=scoring, unicode=unicode,
-            )
-        elif use_kernel and unicode:
-            # unicode literal: rebuild context from codepoints is not
-            # implemented for the int32 kernel representation; the caller
-            # routes unicode literal patterns through the jnp path instead
-            raise NotImplementedError
-        elif use_kernel:
-            cp8, nu2, idx = b
-            m, s, e, ec, g, _ws, _we = literal_pipeline_ascii(
-                cp8, nu2, needle_orig, needle_flip, sc,
-                mode=mode, needle_byte_len=needle_byte_len, scoring=scoring,
-            )
-        elif mode == FUZZY_MODE:
-            cp, fb, plb, boff, blen, nu, nb, idx = b
-            m, s, e, ec, g, _ws, _we = fuzzy_pipeline(
-                cp, fb, plb, boff, blen, nu, nb, needle_orig, needle_flip, sc,
-                max_typos=max_typos, no_prefilter=no_prefilter,
-            )
-        else:
-            cp, fb, plb, boff, blen, nu, nb, idx = b
-            m, s, e, ec, g, _ws, _we = literal_pipeline(
-                cp, fb, plb, boff, blen, nu, nb, needle_orig, needle_flip, sc,
-                mode=mode, needle_byte_len=needle_byte_len, scoring=scoring,
-            )
-        matched = matched.at[idx].set(m)
-        score = score.at[idx].set(s)
-        exact = exact.at[idx].set(e)
-        end_col = end_col.at[idx].set(ec)
-        greedy = greedy.at[idx].set(g)
-    return matched, score, exact, end_col, greedy
+    if use_kernel and mode == FUZZY_MODE:
+        # Fused Pallas path (byte or codepoint units)
+        cp_units, nu2, _idx = b
+        return fuzzy_match_units(
+            cp_units, nu2, needle_packed,
+            max_typos=max_typos, no_prefilter=no_prefilter,
+            scoring=scoring, unicode=unicode,
+        )
+    if use_kernel and unicode:
+        # unicode literal needs the full byte-context arrays; the caller
+        # routes those corpora through the jnp path instead
+        raise NotImplementedError
+    if use_kernel:
+        cp8, nu2, _idx = b
+        m, s, e, ec, g, _ws, _we = literal_pipeline_ascii(
+            cp8, nu2, needle_orig, needle_flip, sc,
+            mode=mode, needle_byte_len=needle_byte_len, scoring=scoring,
+        )
+        return m, s, e, ec, g
+    cp, fb, plb, boff, blen, nu, nb, _idx = b
+    if mode == FUZZY_MODE:
+        m, s, e, ec, g, _ws, _we = fuzzy_pipeline(
+            cp, fb, plb, boff, blen, nu, nb, needle_orig, needle_flip, sc,
+            max_typos=max_typos, no_prefilter=no_prefilter,
+        )
+    else:
+        m, s, e, ec, g, _ws, _we = literal_pipeline(
+            cp, fb, plb, boff, blen, nu, nb, needle_orig, needle_flip, sc,
+            mode=mode, needle_byte_len=needle_byte_len, scoring=scoring,
+        )
+    return m, s, e, ec, g
 
 
 def _pack_misc(exact, end_col, greedy):
@@ -93,49 +82,85 @@ def _pack_misc(exact, end_col, greedy):
     )
 
 
-def _sort_matches_desc(matched, score, exact, end_col, greedy, index):
-    """Device sort by (matched first, score desc, index asc). Slim: two
-    int32 keys plus one packed payload column."""
+def _sort_matches_desc(matched, score, exact, end_col, greedy, index,
+                       n, score_bound):
+    """Device sort by (matched first, score desc, index asc).
+
+    When the static score bound and the corpus size fit one int32, score
+    and index pack into a single composite key (score in the high bits,
+    complemented index below) and the sort carries two operands instead of
+    three; otherwise a two-key sort with a packed payload."""
+    packed = _pack_misc(exact, end_col, greedy)
+    idx_bits = max((n - 1).bit_length(), 1)
+    if (
+        score_bound is not None
+        and score_bound.bit_length() + idx_bits <= 31
+    ):
+        idx_mask = (1 << idx_bits) - 1
+        comp = (score << idx_bits) | (idx_mask - index)
+        key = jnp.where(matched, -comp, 1).astype(jnp.int32)
+        key, packed = jax.lax.sort((key, packed), num_keys=1)
+        comp = -key
+        index = idx_mask - (comp & idx_mask)
+        score = comp >> idx_bits
+        # unmatched rows decode to garbage index; restore the sentinel
+        index = jnp.where(key == 1, INT32_MAX, index)
+        score = jnp.where(key == 1, 0, score)
+        return jnp.stack([index, score, packed], axis=1)
     key1 = jnp.where(matched, -score, 1).astype(jnp.int32)
     key2 = jnp.where(matched, index, INT32_MAX).astype(jnp.int32)
-    packed = _pack_misc(exact, end_col, greedy)
     key1, key2, packed = jax.lax.sort((key1, key2, packed), num_keys=2)
     return jnp.stack([key2, -key1, packed], axis=1)
 
 
 def _fused_match_body(
     buckets, patterns, xl_mask, n, pattern_statics, sort_by_score,
-    use_kernel, unicode
+    use_kernel, unicode, score_bound=None
 ):
-    c_matched = jnp.ones((n,), jnp.bool_)
-    c_score = jnp.zeros((n,), jnp.int32)
-    c_exact = jnp.zeros((n,), jnp.bool_)
-    c_end = jnp.zeros((n,), jnp.int32)
-    c_greedy = jnp.zeros((n,), jnp.bool_)
+    # Per-bucket combination (all patterns share the bucket layout), then a
+    # single concatenation — no dense scatters. XL rows appear in no bucket
+    # and so are naturally absent from device results (host path fills
+    # them in); xl_mask is unused but kept in the signature for cache
+    # stability of the public jits.
+    parts = []
+    for b in buckets:
+        idx_b = b[-1] if len(b) == 3 else b[7]
+        rows = idx_b.shape[0]
+        # size-class padding rows carry index -1 and can never match
+        cm = idx_b >= 0
+        cs = jnp.zeros((rows,), jnp.int32)
+        ce = jnp.zeros((rows,), jnp.bool_)
+        cec = jnp.zeros((rows,), jnp.int32)
+        cg = jnp.zeros((rows,), jnp.bool_)
+        for (orig, flip, sc), (
+            typos, nopre, negated, scoring, mode, nbl
+        ) in zip(patterns, pattern_statics):
+            m, s, e, ec, g = _bucket_pattern_result(
+                b, orig, flip, sc, max_typos=typos, no_prefilter=nopre,
+                use_kernel=use_kernel, scoring=scoring, mode=mode,
+                needle_byte_len=nbl, unicode=unicode,
+            )
+            if negated:
+                cm = cm & ~m
+            else:
+                cm = cm & m
+                cs = jnp.minimum(cs + jnp.where(m, s, 0), 0xFFFF)
+                ce = ce | (e & m)
+                cec = jnp.maximum(cec, jnp.where(m, ec, 0))
+                cg = cg | (g & m)
+        parts.append((cm, cs, ce, cec, cg, idx_b))
 
-    for (orig, flip, sc), (
-        typos, nopre, negated, scoring, mode, nbl
-    ) in zip(patterns, pattern_statics):
-        m, s, e, ec, g = _dense_pattern_result(
-            buckets, orig, flip, sc, n, max_typos=typos, no_prefilter=nopre,
-            use_kernel=use_kernel, scoring=scoring, mode=mode,
-            needle_byte_len=nbl, unicode=unicode,
-        )
-        if negated:
-            c_matched = c_matched & ~m
-        else:
-            c_matched = c_matched & m
-            c_score = jnp.minimum(c_score + jnp.where(m, s, 0), 0xFFFF)
-            c_exact = c_exact | (e & m)
-            c_end = jnp.maximum(c_end, jnp.where(m, ec, 0))
-            c_greedy = c_greedy | (g & m)
-
-    c_matched = c_matched & ~xl_mask
-    index = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    if not parts:  # corpus entirely XL/empty: no device rows
+        z = jnp.zeros((0,), jnp.int32)
+        parts = [(z.astype(jnp.bool_), z, z.astype(jnp.bool_), z,
+                  z.astype(jnp.bool_), z)]
+    c_matched, c_score, c_exact, c_end, c_greedy, index = (
+        jnp.concatenate([p[i] for p in parts]) for i in range(6)
+    )
     count = jnp.sum(c_matched).astype(jnp.int32)
     if sort_by_score:
         out = _sort_matches_desc(c_matched, c_score, c_exact, c_end,
-                                 c_greedy, index)
+                                 c_greedy, index, n, score_bound)
     else:
         key2 = jnp.where(c_matched, index, INT32_MAX).astype(jnp.int32)
         packed = _pack_misc(c_exact, c_end, c_greedy)
@@ -154,7 +179,8 @@ def _fused_match_body(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n", "pattern_statics", "sort_by_score", "use_kernel", "unicode"
+        "n", "pattern_statics", "sort_by_score", "use_kernel", "unicode",
+        "score_bound",
     ),
 )
 def fused_match_sorted(
@@ -168,6 +194,7 @@ def fused_match_sorted(
     sort_by_score: bool = True,
     use_kernel: bool = False,
     unicode: bool = False,
+    score_bound=None,
 ):
     """One-call corpus match. Returns out (1+n, 3) int32.
 
@@ -180,7 +207,7 @@ def fused_match_sorted(
     """
     return _fused_match_body(
         buckets, patterns, xl_mask, n, pattern_statics, sort_by_score,
-        use_kernel, unicode,
+        use_kernel, unicode, score_bound,
     )
 
 
@@ -188,7 +215,7 @@ def fused_match_sorted(
     jax.jit,
     static_argnames=(
         "n", "pattern_statics", "sort_by_score", "use_kernel", "unicode",
-        "fetch_rows",
+        "score_bound", "fetch_rows",
     ),
 )
 def fused_match_sorted_batch(
@@ -202,6 +229,7 @@ def fused_match_sorted_batch(
     sort_by_score: bool = True,
     use_kernel: bool = False,
     unicode: bool = False,
+    score_bound=None,
     fetch_rows: int = 6144,
 ):
     """Pipelined serving: match Q shape-uniform queries against one resident
@@ -218,7 +246,7 @@ def fused_match_sorted_batch(
     def body(carry, patterns):
         out = _fused_match_body(
             buckets, patterns, xl_mask, n, pattern_statics, sort_by_score,
-            use_kernel, unicode,
+            use_kernel, unicode, score_bound,
         )
         return carry, out[: 1 + fetch_rows]
 

@@ -38,6 +38,25 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return jax.make_mesh((n_devices,), (DATA_AXIS,), devices=devs[:n_devices])
 
 
+def initialize_distributed(**kwargs) -> Mesh:
+    """Multi-host setup: join the JAX coordination service and return a
+    global 1-D mesh over every chip in the pod slice.
+
+    Call once per host process before building corpora::
+
+        mesh = initialize_distributed(coordinator_address="host0:1234",
+                                      num_processes=4, process_id=rank)
+
+    With no kwargs, jax.distributed.initialize autodetects the environment
+    (TPU pod metadata / cluster envvars). The corpus shards over the global
+    mesh exactly like the single-host path; the all_gather merge rides ICI
+    within a slice and DCN across slices, and the result remains identical
+    to sequential matching (deterministic (score, index) total order).
+    """
+    jax.distributed.initialize(**kwargs)
+    return make_mesh()
+
+
 def _order_keys(matched, score, index):
     """(primary, secondary) ascending-sort keys realizing
     (matched first, score desc, index asc)."""
@@ -138,7 +157,9 @@ def pad_bucket_for_mesh(bucket, n_shards: int):
             [x, np.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0
         )
 
-    row_index = pad_rows(bucket.indices.astype(np.int32), int(PAD_INDEX))
+    idx = bucket.indices.astype(np.int64)
+    idx = np.where(idx < 0, int(PAD_INDEX), idx)  # size-class pad rows
+    row_index = pad_rows(idx.astype(np.int32), int(PAD_INDEX))
     cp, first, prev, boff, blen = bucket._full_arrays()
     return (
         pad_rows(cp),

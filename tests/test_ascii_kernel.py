@@ -20,7 +20,7 @@ from frizbee_tpu.datagen import (  # noqa: E402
     generate_haystack,
 )
 from frizbee_tpu.engine import FuzzyEngine  # noqa: E402
-from frizbee_tpu.ops.ascii_kernel import fuzzy_match_ascii  # noqa: E402
+from frizbee_tpu.ops.kernels import fuzzy_match_ascii  # noqa: E402
 from frizbee_tpu.ops.fuzzy import fuzzy_pipeline  # noqa: E402
 
 

@@ -17,6 +17,9 @@ def check(haystacks, unicode):
         )
         for r in range(bucket.size):
             idx = int(bucket.indices[r])
+            if idx < 0:  # size-class padding row
+                assert bucket.n_units[r] == 0 and bucket.n_bytes[r] == 0
+                continue
             seen.add(idx)
             h = haystacks[idx].encode()
             units = tokenize(h, unicode=unicode)

@@ -64,3 +64,26 @@ def test_shard_chunked_matcher_parallel(corpus_small):
     seq = m.match_list(corpus_small)
     par = m.match_list_parallel(corpus_small, 3)
     assert seq == par
+
+
+def test_mesh_topk_unicode(corpus_small):
+    """Unicode corpus sharded over the mesh == sequential (the scaled-down
+    version of BASELINE config #5)."""
+    import jax
+
+    from frizbee_tpu.datagen import unicode_corpus
+    from frizbee_tpu.parallel import make_mesh, match_corpus_sharded
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    hay = unicode_corpus(
+        "arabic", num_samples=300, median_units=16, needle="إن",
+        needle_every=5, seed=11,
+    )
+    engine = FuzzyEngine("إن", Config())
+    corpus = pack_corpus(hay, unicode=True)
+    mesh = make_mesh(min(8, len(jax.devices())))
+    index, score, exact, _ = match_corpus_sharded(corpus, engine, mesh, k=24)
+    seq = Matcher("إن", Config()).match_list(hay)[:24]
+    assert [m.index for m in seq] == list(index[: len(seq)])
+    assert [m.score for m in seq] == list(score[: len(seq)])
