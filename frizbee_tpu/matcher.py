@@ -197,6 +197,15 @@ class Matcher:
                 len(cp.engine.units.orig) <= MAX_KERNEL_NEEDLE
                 for cp in self._compiled
             )
+            # the typo-path unroll is (T+1) x needle_len; keep outlandish
+            # budgets (reference sane range is 0-3) off the Mosaic compiler
+            and all(
+                (cp.config.max_typos or 0) == 0
+                or (cp.config.max_typos + 1)
+                * len(cp.engine.units.orig) <= 512
+                or cp.config.max_typos >= len(cp.engine.units.orig)
+                for cp in self._compiled
+            )
             # unicode literal patterns need the full byte-context arrays
             and not (
                 corpus.unicode
