@@ -52,6 +52,10 @@ VARIANTS = [
     "deadbeef", "deafbeed", "beefdead", "feedbead",
     "abadcafe", "cafebabe", "dabbadoo", "beadfeed",
 ]
+UNICODE_VARIANTS = {
+    "إن": ["إن", "لا", "ما", "في", "من", "هل", "ان", "نم"],
+    "니다": ["니다", "하다", "있다", "없다", "보다", "가다", "오다", "주다"],
+}
 
 
 def bench_config(name, haystacks, needle, config, n_queries=8):
@@ -67,13 +71,20 @@ def bench_config(name, haystacks, needle, config, n_queries=8):
     latency = float(np.median(lat))
 
     serving = None
-    if n_queries > 1 and not unicode:
-        qs = [Matcher(v, config) for v in VARIANTS[:n_queries]]
-        match_arrays_batch(qs, corpus, config)  # warm batch
+    if n_queries > 1:
+        # fetch capacity >= result set (quantized so programs cache);
+        # otherwise every query overflows into the per-query fallback
+        count = int(len(out[0]))
+        fetch = 6144
+        while fetch <= count:
+            fetch *= 2
+        variants = UNICODE_VARIANTS.get(needle, VARIANTS)
+        qs = [Matcher(v, config) for v in variants[:n_queries]]
+        match_arrays_batch(qs, corpus, config, fetch_rows=fetch)  # warm
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            match_arrays_batch(qs, corpus, config)
+            match_arrays_batch(qs, corpus, config, fetch_rows=fetch)
             ts.append(time.perf_counter() - t0)
         serving = float(np.median(ts)) / n_queries
 
@@ -141,7 +152,7 @@ def main():
             f"unicode_{script}",
             unicode_corpus(script, num_samples=N, needle=needle,
                            needle_every=20),
-            needle, Config(), 1))
+            needle, Config(), nq))
 
     with open("benchmarks/RESULTS.md", "w") as f:
         f.write("# Benchmark results\n\n")
