@@ -206,13 +206,6 @@ class Matcher:
                 or cp.config.max_typos >= len(cp.engine.units.orig)
                 for cp in self._compiled
             )
-            # unicode literal patterns need the full byte-context arrays
-            and not (
-                corpus.unicode
-                and any(
-                    not cp.config.matching.is_fuzzy for cp in self._compiled
-                )
-            )
         )
         if use_kernel and corpus.unicode:
             buckets = tuple(b.device_arrays_units() for b in corpus.buckets)

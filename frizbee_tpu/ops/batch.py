@@ -22,7 +22,11 @@ import jax.numpy as jnp
 
 from .kernels import fuzzy_match_units
 from .fuzzy import fuzzy_pipeline
-from .literal import literal_pipeline, literal_pipeline_ascii
+from .literal import (
+    literal_pipeline,
+    literal_pipeline_ascii,
+    literal_pipeline_units,
+)
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
 
@@ -49,9 +53,12 @@ def _bucket_pattern_result(
             scoring=scoring, unicode=unicode,
         )
     if use_kernel and unicode:
-        # unicode literal needs the full byte-context arrays; the caller
-        # routes those corpora through the jnp path instead
-        raise NotImplementedError
+        cp32, nu2, _idx = b
+        m, s, e, ec, g, _ws, _we = literal_pipeline_units(
+            cp32, nu2, needle_orig, needle_flip, sc,
+            mode=mode, needle_byte_len=needle_byte_len, scoring=scoring,
+        )
+        return m, s, e, ec, g
     if use_kernel:
         cp8, nu2, _idx = b
         m, s, e, ec, g, _ws, _we = literal_pipeline_ascii(

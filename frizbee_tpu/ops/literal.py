@@ -190,3 +190,57 @@ def literal_pipeline_ascii(
         cp, cp, prev, cols, ones, nu, nu, needle_orig, needle_flip, sc,
         mode=mode, needle_byte_len=needle_byte_len, scoring=scoring,
     )
+
+
+def literal_pipeline_units(
+    cp32: jnp.ndarray,  # (B, W) int32 codepoints
+    n_units2: jnp.ndarray,  # (B, 1) int32
+    needle_orig: jnp.ndarray,
+    needle_flip: jnp.ndarray,
+    sc: jnp.ndarray,
+    *,
+    mode: str,
+    needle_byte_len: int,
+    scoring: Tuple[int, ...],
+):
+    """Unicode adapter: derives the UTF-8 byte context from codepoints
+    in-graph (same formulas as ops/kernels._unit_context) so the
+    codepoint kernel representation feeds the literal op too."""
+    B, W = cp32.shape
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    valid = cols < n_units2
+    cp = jnp.where(valid, cp32, 0)
+    blen = (
+        1
+        + (cp >= 0x80).astype(jnp.int32)
+        + (cp >= 0x800).astype(jnp.int32)
+        + (cp >= 0x10000).astype(jnp.int32)
+    )
+    blen = jnp.where(valid, blen, 0)
+    first = jnp.where(
+        cp < 0x80,
+        cp,
+        jnp.where(
+            cp < 0x800,
+            0xC0 | (cp >> 6),
+            jnp.where(cp < 0x10000, 0xE0 | (cp >> 12), 0xF0 | (cp >> 18)),
+        ),
+    )
+    first = jnp.where(valid, first, 0)
+    last = jnp.where(cp < 0x80, cp, 0x80 | (cp & 0x3F))
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), last[:, :-1]], axis=1
+    )
+    prev = jnp.where(valid, prev, -1)
+    csum = jnp.cumsum(blen, axis=1)
+    boff = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), csum[:, :-1]], axis=1
+    )
+    boff = jnp.where(valid, boff, 0)
+    n_bytes = csum[:, -1]
+    nu = n_units2[:, 0]
+    return literal_pipeline(
+        cp, first, prev, boff, blen, nu, n_bytes,
+        needle_orig, needle_flip, sc,
+        mode=mode, needle_byte_len=needle_byte_len, scoring=scoring,
+    )
