@@ -18,8 +18,8 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .config import MAX_HAYSTACK_LEN, Config, Matching, U16_MAX, sat_add_u16
-from .corpus import Corpus, pack_corpus
+from .config import MAX_HAYSTACK_LEN, Config, U16_MAX, sat_add_u16
+from .corpus import Corpus
 from .oracle import (
     literal_find,
     make_needle_units,

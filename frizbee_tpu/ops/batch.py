@@ -15,7 +15,7 @@ total order, produced by one device program instead of a per-haystack loop.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

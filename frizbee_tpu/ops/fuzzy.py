@@ -23,7 +23,7 @@ XLA overlaps it with packing DMA.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
