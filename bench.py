@@ -1,22 +1,24 @@
-"""Headline benchmark: reference 'Partial Match' dataset, default config.
+"""Headline benchmark: reference 'Partial Match' profile at Chromium scale.
 
-Reproduces the reference's bench configuration (benches/match_list/mod.rs,
-BENCHMARKS.md:107-125): 100k synthetic haystacks, needle "deadbeef", 5% full
-/ 20% partial match, median length 64 (std dev 16), Config::default()
-(max_typos=0). The reference measures `match_list` over a resident &[&str];
-we measure the same work (prefilter + SW + sort to a full sorted match
-list) over a resident packed corpus.
+Dataset: the reference's Partial Match generator (benches/match_list/mod.rs,
+BENCHMARKS.md:107-125 — needle "deadbeef", 5% full / 20% partial match,
+median length 64, Config::default()) scaled to 1M haystacks, the reference's
+own headline corpus scale (Chromium, 1.41M paths, BENCHMARKS.md:50-65).
 
-Headline metric: sustained haystacks/sec in pipelined serving — a batch of
-distinct queries against the resident corpus, one device program + one
-result fetch (`match_arrays_batch`). That is the deployment shape for an
-accelerator: the host link here is a tunnel with ~26 ms RTT and ~30 MB/s,
-so single-query latency measures the link, not the engine (reported in
-extra anyway).
+Headline metric: sustained haystacks/sec in pipelined top-k serving — a
+batch of distinct queries against one resident packed corpus, one device
+program, one result fetch (`match_topk_batch`: exact total match count +
+the best k=2048 rows per query; the full sorted match list stays
+device-resident). That is the deployment shape for an accelerator: the
+host link here is a tunnel with ~26 ms RTT and ~30 MB/s, so single-query
+latency measures the link, not the engine (reported in extra anyway), and
+shipping every match row of a 1M-row corpus over it would measure the
+tunnel too.
 
-Prints one JSON line; vs_baseline is against the reference's 1.24 ms /
-100k haystacks (80.6M haystacks/s, single thread Ryzen 9950x3D,
-BENCHMARKS.md:122-124).
+Prints one JSON line; vs_baseline is against the reference's published
+single-thread rate on this dataset profile: 1.24 ms / 100k haystacks =
+80.6M haystacks/s (Ryzen 9950x3D, BENCHMARKS.md:122-124; the reference's
+cost is linear in corpus size — 63M hay/s on 1.4M-row Chromium).
 """
 
 import json
@@ -25,66 +27,78 @@ import time
 import numpy as np
 
 
-REF_SECONDS = 1.24e-3  # reference: Partial Match, len 64, default config
-N = 100_000
+REF_HAYSTACKS_PER_SEC = 100_000 / 1.24e-3  # reference Partial Match len 64
+N = 1_000_000
 MEDIAN_LEN = 64
-Q = 16  # queries per serving batch
+Q = 32  # queries per serving batch
+TOP_K = 2048
+
+
+def _queries(q):
+    """Distinct 8-char needles with the bench trace shape."""
+    rng = np.random.default_rng(99)
+    base = "deadbeef"
+    out = [base]
+    while len(out) < q:
+        s = "".join(rng.permutation(list(base)))
+        if s not in out:
+            out.append(s)
+    return out[:q]
 
 
 def main():
     from frizbee_tpu.config import Config
     from frizbee_tpu.corpus import pack_corpus
     from frizbee_tpu.datagen import partial_match_corpus
-    from frizbee_tpu.matcher import Matcher, match_arrays_batch
+    from frizbee_tpu.matcher import Matcher, match_topk_batch
 
     haystacks = partial_match_corpus(median_length=MEDIAN_LEN, num_samples=N)
     corpus = pack_corpus(haystacks, unicode=False)
 
-    # Distinct 8-char queries (same trace shape, different needles)
-    queries = [
-        "deadbeef", "deafbeed", "beefdead", "feedbead",
-        "abadcafe", "cafebabe", "dabbadoo", "beadfeed",
-        "defaced0", "baddeed1", "eadbeefd", "adbeefde",
-        "dbeefdea", "ebdaefde", "faceb00c", "deedbeaf",
-    ][:Q]
+    queries = [Matcher.from_query(s, Config()) for s in _queries(Q)]
 
     # Warmup: compile + device upload (single-query + batch traces)
     matcher = Matcher("deadbeef", Config())
     matcher.match_arrays(corpus)
-    queries = [Matcher.from_query(q, Config()) for q in queries]
-    match_arrays_batch(queries, corpus, Config())
+    match_topk_batch(queries, corpus, Config(), k=TOP_K)
 
     # Single-query latency (RTT-bound on this host link)
     lat = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
         out = matcher.match_arrays(corpus)
         lat.append(time.perf_counter() - t0)
     latency = float(np.median(lat))
     n_matches = int(len(out[0]))
 
-    # Pipelined serving throughput
+    # Pipelined top-k serving throughput
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        res = match_arrays_batch(queries, corpus, Config())
+        res = match_topk_batch(queries, corpus, Config(), k=TOP_K)
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     assert len(res) == len(queries)
+    # permuted variants can legitimately match nothing (stage-1 and the
+    # kernels still do identical work — presence is order-blind); the
+    # canonical needle must match and every result must be k-capped
+    assert res[0][0] > 0
+    assert all(len(r[1]) == min(r[0], TOP_K) for r in res)
 
     hps = Q * N / dt
-    ref_hps = N / REF_SECONDS
     print(json.dumps({
-        "metric": "partial_match_100k_len64_serving_haystacks_per_sec",
+        "metric": "partial_match_1m_len64_topk_serving_haystacks_per_sec",
         "value": round(hps),
         "unit": "haystacks/s",
-        "vs_baseline": round(hps / ref_hps, 4),
+        "vs_baseline": round(hps / REF_HAYSTACKS_PER_SEC, 4),
         "extra": {
+            "corpus_rows": N,
             "batch_queries": Q,
+            "top_k": TOP_K,
             "batch_seconds": dt,
             "single_query_latency_seconds": latency,
             "single_query_matches": n_matches,
-            "reference_seconds_per_query": REF_SECONDS,
+            "reference_haystacks_per_sec": REF_HAYSTACKS_PER_SEC,
         },
     }))
 

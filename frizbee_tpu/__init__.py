@@ -24,6 +24,25 @@ from .types import Match, MatchIndices
 __version__ = "0.1.0"
 
 
+def _host_fingerprint() -> str:
+    """Short CPU-feature fingerprint: persistent-cache artifacts for the
+    CPU backend are micro-arch-specific (loading one on a different host
+    can SIGILL), so the cache directory is keyed per host class."""
+    import hashlib
+    import platform
+
+    parts = [platform.machine(), platform.processor()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    parts.append(line.strip())
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:10]
+
+
 def _enable_compilation_cache():
     """Persist compiled XLA/Mosaic executables across processes. Kernel
     compiles can take minutes on remote-compile TPU setups; the cache makes
@@ -39,7 +58,9 @@ def _enable_compilation_cache():
                 "jax_compilation_cache_dir",
                 _os.environ.get(
                     "FRIZBEE_TPU_CACHE_DIR",
-                    _os.path.expanduser("~/.cache/frizbee_tpu_xla"),
+                    _os.path.expanduser(
+                        f"~/.cache/frizbee_tpu_xla_{_host_fingerprint()}"
+                    ),
                 ),
             )
             jax.config.update(

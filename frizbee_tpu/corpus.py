@@ -29,6 +29,14 @@ LANE_BUCKETS: Tuple[int, ...] = (128, 256, 512, 1024)
 ASCII_BUCKETS = LANE_BUCKETS  # back-compat alias
 
 
+def max_bucket_rows(width: int) -> int:
+    """Row cap per packed bucket: row ids and unit counts must co-pack
+    into one 31-bit sort key on the batched serving path (ops/batch.py
+    P1), and (Q, B) sort operands should stay memory-sane. Oversized
+    buckets split into chained buckets of the same width."""
+    return min(1 << 20, 1 << (30 - (width).bit_length()))
+
+
 def _size_class(b: int) -> int:
     """Smallest {2^k * m/4 : m in 4..7} >= b (min 256): coarse row-count
     classes bound padding waste at 25% while collapsing program shapes so
@@ -90,6 +98,27 @@ class PackedBucket:
     def size(self) -> int:
         return int(self.indices.shape[0])
 
+    def ident_static(self):
+        """(ident_base, n_real): when the bucket's real rows are the
+        contiguous corpus range [base, base + n_real) in order (the
+        single-bucket / chained-split case), the serving fast path
+        computes ``index = row + base`` instead of gathering indices.
+        ident_base is -1 when the rows aren't contiguous."""
+        if not hasattr(self, "_ident"):
+            n_real = int(np.sum(self.indices >= 0))
+            if n_real == 0:
+                self._ident = (-1, 0)
+            else:
+                base = int(self.indices[0])
+                ident = bool(
+                    np.array_equal(
+                        self.indices[:n_real],
+                        np.arange(base, base + n_real, dtype=np.int64),
+                    )
+                )
+                self._ident = (base if ident else -1, n_real)
+        return self._ident
+
     def _full_arrays(self):
         """Int32 unit arrays incl. byte context. The native ASCII packer
         stores only the int8 byte matrix; the context arrays (first byte ==
@@ -133,32 +162,48 @@ class PackedBucket:
 
     def device_arrays_ascii(self):
         """Kernel-path device arrays: (cp int8 (B,W), n_units (B,1) i32,
-        indices (B,) i32). Only meaningful for byte-unit (ASCII) packing."""
+        indices (B,) i32, mask4 (B,4) i32 presence masks). Only meaningful
+        for byte-unit (ASCII) packing."""
         if not hasattr(self, "_device_ascii"):
             import jax.numpy as jnp
+
+            from .ops.presence import presence_bits, presence_mask
 
             cp8 = (
                 self.cp
                 if self.cp.dtype == np.int8
                 else self.cp.astype(np.uint8).astype(np.int8)
             )
+            cp_d = jnp.asarray(cp8)
+            nu_d = jnp.asarray(self.n_units.astype(np.int32)[:, None])
+            mask4 = presence_mask(cp_d, nu_d)
             self._device_ascii = (
-                jnp.asarray(cp8),
-                jnp.asarray(self.n_units.astype(np.int32)[:, None]),
+                cp_d,
+                nu_d,
                 jnp.asarray(self.indices.astype(np.int32)),
+                mask4,
+                presence_bits(mask4),
             )
         return self._device_ascii
 
     def device_arrays_units(self):
         """Kernel-path device arrays for codepoint (unicode) packing:
-        (cp int32 (B,W), n_units (B,1) i32, indices (B,) i32)."""
+        (cp int32 (B,W), n_units (B,1) i32, indices (B,) i32,
+        mask4 (B,4) i32 presence masks)."""
         if not hasattr(self, "_device_units"):
             import jax.numpy as jnp
 
+            from .ops.presence import presence_bits, presence_mask
+
+            cp_d = jnp.asarray(self.cp.astype(np.int32))
+            nu_d = jnp.asarray(self.n_units.astype(np.int32)[:, None])
+            mask4 = presence_mask(cp_d, nu_d)
             self._device_units = (
-                jnp.asarray(self.cp.astype(np.int32)),
-                jnp.asarray(self.n_units.astype(np.int32)[:, None]),
+                cp_d,
+                nu_d,
                 jnp.asarray(self.indices.astype(np.int32)),
+                mask4,
+                presence_bits(mask4),
             )
         return self._device_units
 
@@ -273,10 +318,16 @@ def pack_corpus(
 
     from . import native
 
+    chunks = []
     for bi, w in enumerate(widths):
-        rows = np.nonzero(assigned == bi)[0]
-        if rows.size == 0:
+        rows_all = np.nonzero(assigned == bi)[0]
+        if rows_all.size == 0:
             continue
+        cap = max_bucket_rows(w)
+        for s in range(0, rows_all.size, cap):
+            chunks.append((w, rows_all[s : s + cap]))
+
+    for w, rows in chunks:
         # Pad row count to a size class with empty rows (index sentinel
         # -1, zero units — they can never match) so program shapes repeat
         # across corpora and the compilation cache hits.

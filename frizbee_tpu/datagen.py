@@ -174,6 +174,51 @@ def unicode_corpus(script: str = "arabic",
     return out
 
 
+_PATH_SEGMENTS = [
+    "src", "chrome", "browser", "content", "components", "third_party",
+    "ui", "gfx", "net", "base", "build", "cc", "media", "gpu", "ipc",
+    "mojo", "services", "extensions", "devtools", "renderer", "views",
+    "ash", "blink", "v8", "skia", "webrtc", "linux", "win", "mac",
+    "android", "test", "tests", "public", "common", "internal", "core",
+    "impl", "api", "util", "tools", "sandbox", "policy", "accessibility",
+]
+_FILE_STEMS = [
+    "main", "browser_window", "render_frame_host", "tab_strip_model",
+    "navigation_controller", "web_contents", "profile_manager",
+    "bookmark_model", "history_service", "download_item", "pref_service",
+    "layout_manager", "view_controller", "event_handler", "task_runner",
+    "message_loop", "thread_pool", "memory_allocator", "string_util",
+    "file_path", "time_ticks", "callback_helpers", "weak_ptr", "observer",
+]
+_FILE_EXTS = [".cc", ".h", ".mm", ".py", ".js", ".ts", ".html", ".css",
+              ".gn", ".json", ".md", ".xml", ".grd", ".mojom"]
+
+
+def chromium_like_corpus(num_samples: int = 1_406_941,
+                         seed: int = 42) -> List[str]:
+    """Path-shaped corpus replicating the reference's Chromium benchmark
+    profile (reference: benches/lib.rs:18-40, BENCHMARKS.md:50-65): 1.4M
+    '/'-delimited source paths, median length ~67 bytes, realistic length
+    spread, benched with needle "linux". The reference's actual file list
+    isn't redistributable; this generator reproduces the statistical
+    profile the benchmark exercises (segment-structured ASCII rows with a
+    long-tail length histogram and a naturally low match rate)."""
+    rng = np.random.default_rng(seed)
+    n_seg = rng.integers(2, 7, num_samples)
+    segs = rng.choice(len(_PATH_SEGMENTS), size=int(n_seg.sum()))
+    stems = rng.choice(len(_FILE_STEMS), size=num_samples)
+    exts = rng.choice(len(_FILE_EXTS), size=num_samples)
+    out: List[str] = []
+    pos = 0
+    for i in range(num_samples):
+        k = int(n_seg[i])
+        parts = [_PATH_SEGMENTS[s] for s in segs[pos:pos + k]]
+        pos += k
+        parts.append(_FILE_STEMS[stems[i]] + _FILE_EXTS[exts[i]])
+        out.append("/".join(parts))
+    return out
+
+
 def no_match_corpus(median_length: int = 64,
                     num_samples: int = 100_000,
                     seed: int = 42,

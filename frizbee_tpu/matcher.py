@@ -9,6 +9,7 @@ bucket kernels keyed on (bucket width, needle length, typo budget).
 
 from __future__ import annotations
 
+from itertools import islice
 from typing import Iterable, Iterator, List, Optional, Sequence, Union
 
 import numpy as np
@@ -197,13 +198,15 @@ class Matcher:
                 len(cp.engine.units.orig) <= MAX_KERNEL_NEEDLE
                 for cp in self._compiled
             )
-            # the typo-path unroll is (T+1) x needle_len; keep outlandish
-            # budgets (reference sane range is 0-3) off the Mosaic compiler
+            # the kernel unrolls (T+1) DP states; keep outlandish budgets
+            # (reference sane range is 0-3) off the Mosaic compiler. The
+            # budget is clamped to the needle length inside the kernel
+            # wrapper (a budget >= needle length auto-passes either way).
             and all(
-                (cp.config.max_typos or 0) == 0
-                or (cp.config.max_typos + 1)
-                * len(cp.engine.units.orig) <= 512
-                or cp.config.max_typos >= len(cp.engine.units.orig)
+                min(
+                    cp.config.max_typos or 0,
+                    len(cp.engine.units.orig),
+                ) <= 8
                 for cp in self._compiled
             )
         )
@@ -213,6 +216,10 @@ class Matcher:
             buckets = tuple(b.device_arrays_ascii() for b in corpus.buckets)
         else:
             buckets = tuple(b.device_arrays() for b in corpus.buckets)
+        # Per-bucket (ident_base, n_real): when a bucket's real rows are a
+        # contiguous corpus index range, the serving fast path recovers
+        # indices arithmetically instead of gathering them (ops/batch.py)
+        bucket_statics = tuple(b.ident_static() for b in corpus.buckets)
         patterns = tuple(cp.engine._device_needle() for cp in self._compiled)
         statics = tuple(
             (
@@ -228,7 +235,7 @@ class Matcher:
             )
             for cp in self._compiled
         )
-        return buckets, patterns, statics, use_kernel
+        return buckets, patterns, statics, use_kernel, bucket_statics
 
     def _score_bound(self) -> int:
         """Strict static upper bound on any combined match score; lets the
@@ -254,13 +261,14 @@ class Matcher:
 
     @staticmethod
     def _decode_rows(rows: np.ndarray) -> tuple:
-        """Unpack fetched [index, score, packed] rows."""
+        """Unpack fetched [index, meta] rows (meta = score<<16 | exact<<15
+        | greedy<<14 | end_col; see ops/batch._pack_meta)."""
         index = rows[:, 0].astype(np.int64)
-        score = rows[:, 1].astype(np.int64)
-        packed = rows[:, 2]
-        exact = (packed >> 17).astype(bool)
-        greedy = ((packed >> 16) & 1).astype(bool)
-        end_col = (packed & 0xFFFF).astype(np.int64)
+        meta = rows[:, 1].astype(np.uint32)
+        score = (meta >> np.uint32(16)).astype(np.int64)
+        exact = ((meta >> np.uint32(15)) & np.uint32(1)).astype(bool)
+        greedy = ((meta >> np.uint32(14)) & np.uint32(1)).astype(bool)
+        end_col = (meta & np.uint32(0x3FFF)).astype(np.int64)
         return index, score, exact, end_col, greedy
 
     def _fused_match_arrays(self, corpus: Corpus) -> tuple:
@@ -269,8 +277,8 @@ class Matcher:
         from .ops.batch import fused_match_sorted
 
         strategy = self._config.sort
-        buckets, patterns, statics, use_kernel = self._fused_device_args(
-            corpus
+        buckets, patterns, statics, use_kernel, _bst = (
+            self._fused_device_args(corpus)
         )
         out = fused_match_sorted(
             buckets,
@@ -450,13 +458,43 @@ class Matcher:
             ]
         if self._config.sort.is_reversed:
             index = index[::-1]
+        batched = self._batched_indices(hay, index)
         out: List[MatchIndices] = []
         for i in index:
-            m = self.match_one_indices(hay[int(i)], int(i))
+            m = batched.get(int(i)) if batched else None
+            if m is None:
+                m = self.match_one_indices(hay[int(i)], int(i))
             if m is not None:
                 out.append(m)
         if self._config.sort.is_by_score:
             out.sort(key=lambda m: -m.score)  # stable, score only
+        return out
+
+    def _batched_indices(self, hay, index) -> Optional[dict]:
+        """Vectorized traceback for the selected matches (single fuzzy
+        pattern, device mode); rows the batched walk doesn't cover fall
+        back to the per-row oracle. See frizbee_tpu/traceback.py."""
+        if (
+            not self._use_device
+            or len(self._compiled) != 1
+            or self._compiled[0].negated
+            or not self._compiled[0].config.matching.is_fuzzy
+            or len(index) < 32
+        ):
+            return None
+        from .traceback import batched_match_indices
+
+        cp = self._compiled[0]
+        rows = [hay[int(i)] for i in index]
+        res = batched_match_indices(cp.engine, rows)
+        out = {}
+        for i, r in zip(index, res):
+            if r is not None:
+                score, exact, inds = r
+                out[int(i)] = MatchIndices(
+                    score=score, index=int(i), exact=exact,
+                    indices=list(inds),
+                )
         return out
 
     def match_one(self, haystack: str, index: int = 0) -> Optional[Match]:
@@ -498,17 +536,61 @@ class Matcher:
         combined.indices = sorted(set(combined.indices), reverse=True)
         return combined
 
+    # Rows per lazy iterator chunk: large enough that the batched engine's
+    # fixed per-call cost amortizes (the reference's iterator is ~10% off
+    # its list path, src/matcher/mod.rs:272-273; here the same batched
+    # engine serves both, so the gap is one chunk's worth of padding)
+    iter_chunk: int = 8192
+
     def match_iter(self, haystacks: Iterable[str]) -> Iterator[Match]:
-        for i, h in enumerate(haystacks):
-            m = self.match_one(h, i)
-            if m is not None:
-                yield m
+        """Lazy matching in input order. Streams fixed-size chunks through
+        the batched engine (reference: src/matcher/iter.rs semantics —
+        unsorted, yields as it goes — at batch-engine throughput)."""
+        if not self._use_device or not self._compiled:
+            for i, h in enumerate(haystacks):
+                m = self.match_one(h, i)
+                if m is not None:
+                    yield m
+            return
+        it = iter(haystacks)
+        base = 0
+        while True:
+            chunk = list(islice(it, self.iter_chunk))
+            if not chunk:
+                return
+            index, score, exact, end_col = self.match_arrays(chunk)
+            order = np.argsort(index, kind="stable")
+            for j in order:
+                yield Match(
+                    score=int(score[j]),
+                    index=int(index[j]) + base,
+                    exact=bool(exact[j]),
+                    end_col=int(end_col[j]),
+                )
+            base += len(chunk)
 
     def match_iter_indices(self, haystacks: Iterable[str]) -> Iterator[MatchIndices]:
-        for i, h in enumerate(haystacks):
-            m = self.match_one_indices(h, i)
-            if m is not None:
-                yield m
+        """Lazy matching with matched-byte indices, in input order. Match
+        selection rides the chunked batch engine; the traceback walk runs
+        host-side only on matches (reference: src/matcher/iter.rs)."""
+        if not self._use_device or not self._compiled:
+            for i, h in enumerate(haystacks):
+                m = self.match_one_indices(h, i)
+                if m is not None:
+                    yield m
+            return
+        it = iter(haystacks)
+        base = 0
+        while True:
+            chunk = list(islice(it, self.iter_chunk))
+            if not chunk:
+                return
+            index = np.sort(self.match_arrays(chunk)[0])
+            for i in index:
+                m = self.match_one_indices(chunk[int(i)], int(i) + base)
+                if m is not None:
+                    yield m
+            base += len(chunk)
 
     def match_list_parallel(
         self, haystacks: Sequence[str], shards: int
@@ -601,55 +683,47 @@ def fuzzy_match_indices(
     return Matcher(needle, config, **kw).match_iter_indices(haystacks)
 
 
-def match_arrays_batch(
-    queries: Sequence[Union[str, "Matcher"]],
-    corpus: Union[Sequence[str], Corpus],
-    config: Optional[Config] = None,
-    fetch_rows: int = 6144,
-) -> List[tuple]:
-    """Pipelined serving: Q independent queries (strings or prebuilt
-    Matchers) against one resident corpus in one device program + one
-    fetch. Returns per-query (index, score, exact, end_col) arrays, each
-    ordered like ``Matcher.match_arrays``.
-
-    This is the TPU production pattern the per-query API can't reach when
-    the host link has latency: dispatch once, stream results once. Queries
-    whose result set exceeds ``fetch_rows`` (rare) are transparently re-run
-    through the per-query path.
-    """
+def _run_batch_groups(
+    matchers: List[Matcher],
+    corpus: Corpus,
+    config: Config,
+    fetch_rows: int,
+) -> List[Optional[tuple]]:
+    """Shared engine for the pipelined-serving APIs: group shape-uniform
+    queries (same pattern count, per-pattern needle lengths and statics)
+    into one scanned device program each, one fetch per group. Returns
+    per-query (count, index, score, exact, end_col, greedy) of the top
+    ``fetch_rows`` device rows, or None for queries the fused device path
+    can't serve (those fall back to the per-query path)."""
     import jax.numpy as jnp
 
     from .ops.batch import fused_match_sorted_batch
 
-    config = config or Config()
-    matchers = [
-        q if isinstance(q, Matcher) else Matcher.from_query(q, config)
-        for q in queries
-    ]
-    if not isinstance(corpus, Corpus):
-        unicode = any(
-            cp.engine.unicode for m in matchers for cp in m._compiled
-        )
-        corpus = pack_corpus(corpus, unicode=unicode)
-
-    # Group shape-uniform queries: same pattern count, per-pattern needle
-    # lengths and statics -> one scanned device program per group
     groups = {}
-    results: List[Optional[tuple]] = [None] * len(queries)
+    results: List[Optional[tuple]] = [None] * len(matchers)
     prepared = {}
     for i, m in enumerate(matchers):
         if not m._fused_supported() or not m._compiled:
             continue
-        buckets, patterns, statics, use_kernel = m._fused_device_args(corpus)
+        # Unit-mode mismatch (e.g. ASCII query over a unicode-packed
+        # corpus): the fused path would score in the wrong units — leave
+        # it to the per-query fallback, which repacks per the reference's
+        # dispatch-by-needle rule (src/matcher/mod.rs respects_unicode)
+        if m._compiled[0].engine.unicode != corpus.unicode:
+            continue
+        buckets, patterns, statics, use_kernel, bst = (
+            m._fused_device_args(corpus)
+        )
         key = (
             statics,
             tuple(p[0].shape[0] for p in patterns),
             use_kernel,
+            bst,
         )
         groups.setdefault(key, []).append(i)
         prepared[i] = (buckets, patterns)
 
-    for (statics, _lens, use_kernel), members in groups.items():
+    for (statics, _lens, use_kernel, bst), members in groups.items():
         buckets = prepared[members[0]][0]
         n_pat = len(statics)
         stacked = tuple(
@@ -670,18 +744,98 @@ def match_arrays_batch(
             unicode=corpus.unicode,
             score_bound=matchers[members[0]]._score_bound(),
             fetch_rows=min(fetch_rows, len(corpus)),
+            bucket_statics=bst,
         )
         all_rows = np.asarray(out)  # ONE fetch for the whole group
         for qi, i in enumerate(members):
             block = all_rows[qi]
             count = int(block[0, 0])
-            if count > block.shape[0] - 1:
-                results[i] = matchers[i].match_arrays(corpus)  # overflow
-                continue
-            rows = block[1 : 1 + count]
-            decoded = Matcher._decode_rows(rows)
-            results[i] = matchers[i]._host_fixups(corpus, *decoded)
+            rows = block[1 : 1 + min(count, block.shape[0] - 1)]
+            results[i] = (count,) + Matcher._decode_rows(rows)
+    return results
+
+
+def _resolve_batch(queries, corpus, config):
+    matchers = [
+        q if isinstance(q, Matcher) else Matcher.from_query(q, config)
+        for q in queries
+    ]
+    if not isinstance(corpus, Corpus):
+        unicode = any(
+            cp.engine.unicode for m in matchers for cp in m._compiled
+        )
+        corpus = pack_corpus(corpus, unicode=unicode)
+    return matchers, corpus
+
+
+def match_arrays_batch(
+    queries: Sequence[Union[str, "Matcher"]],
+    corpus: Union[Sequence[str], Corpus],
+    config: Optional[Config] = None,
+    fetch_rows: int = 6144,
+) -> List[tuple]:
+    """Pipelined serving: Q independent queries (strings or prebuilt
+    Matchers) against one resident corpus in one device program + one
+    fetch. Returns per-query (index, score, exact, end_col) arrays of ALL
+    matches, each ordered like ``Matcher.match_arrays``.
+
+    This is the TPU production pattern the per-query API can't reach when
+    the host link has latency: dispatch once, stream results once. Queries
+    whose result set exceeds ``fetch_rows`` (rare) are transparently re-run
+    through the per-query path.
+    """
+    config = config or Config()
+    matchers, corpus = _resolve_batch(queries, corpus, config)
+    raw = _run_batch_groups(
+        matchers, corpus, config, min(fetch_rows, len(corpus))
+    )
+    results: List[Optional[tuple]] = [None] * len(queries)
+    for i, r in enumerate(raw):
+        if r is None:
+            continue
+        count, index, score, exact, end_col, greedy = r
+        if count > len(index):
+            continue  # overflow: per-query path below fetches everything
+        results[i] = matchers[i]._host_fixups(
+            corpus, index, score, exact, end_col, greedy
+        )
     for i in range(len(queries)):
         if results[i] is None:
             results[i] = matchers[i].match_arrays(corpus)
+    return results
+
+
+def match_topk_batch(
+    queries: Sequence[Union[str, "Matcher"]],
+    corpus: Union[Sequence[str], Corpus],
+    config: Optional[Config] = None,
+    k: int = 2048,
+) -> List[tuple]:
+    """Top-k pipelined serving: like ``match_arrays_batch`` but each query
+    returns ``(total_count, index, score, exact, end_col)`` with at most
+    the best ``k`` matches materialized on the host (the full sorted match
+    list stays device-resident). The exact total match count always comes
+    back; only the transported rows are capped — the serving shape for
+    result consumers that page or display top-k, where shipping the full
+    match list over a latency/bandwidth-limited host link buys nothing."""
+    config = config or Config()
+    matchers, corpus = _resolve_batch(queries, corpus, config)
+    raw = _run_batch_groups(matchers, corpus, config, min(k, len(corpus)))
+    results: List[Optional[tuple]] = [None] * len(queries)
+    for i, r in enumerate(raw):
+        if r is None:
+            index, score, exact, end_col = matchers[i].match_arrays(corpus)
+            results[i] = (
+                len(index), index[:k], score[:k], exact[:k], end_col[:k]
+            )
+            continue
+        count, index, score, exact, end_col, greedy = r
+        fetched = len(index)
+        index, score, exact, end_col = matchers[i]._host_fixups(
+            corpus, index, score, exact, end_col, greedy
+        )
+        # greedy rescoring can drop rows and XL rows can add some; keep
+        # the exact total in sync with the host fixups' delta
+        count += len(index) - fetched
+        results[i] = (count, index[:k], score[:k], exact[:k], end_col[:k])
     return results

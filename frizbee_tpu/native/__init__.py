@@ -16,9 +16,30 @@ from typing import Optional
 import numpy as np
 
 _SRC = os.path.join(os.path.dirname(__file__), "packer.cpp")
+
+
+def _host_tag() -> str:
+    """The .so is built with -march=native; key the cache per host class
+    so a shared/migrated cache dir never loads a mismatched binary
+    (SIGILL on first pack)."""
+    import hashlib
+    import platform
+
+    parts = [platform.machine(), platform.processor()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    parts.append(line.strip())
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:10]
+
+
 _CACHE = os.environ.get(
     "FRIZBEE_TPU_NATIVE_DIR",
-    os.path.expanduser("~/.cache/frizbee_tpu_native"),
+    os.path.expanduser(f"~/.cache/frizbee_tpu_native_{_host_tag()}"),
 )
 _LOCK = threading.Lock()
 _lib = None

@@ -2,14 +2,20 @@
 
 The tunnel/PCIe boundary is the expensive resource (every dispatch and every
 device->host fetch pays a latency floor), so the entire query — per-bucket
-prefilter+SW for every pattern, multi-pattern combination, match filtering,
-and the final (score desc, index asc) sort — runs as ONE jitted computation
-returning one compact int32 matrix plus a match count. The host then issues
-exactly two fetches: the count, and the first ``count`` sorted rows.
+stage-1 reject + prefilter + SW for every pattern, multi-pattern
+combination, match filtering, and the final (score desc, index asc) sort —
+runs as ONE jitted computation returning one compact int32 matrix plus a
+match count. The host then issues exactly two fetches: the count, and the
+first ``count`` sorted rows.
 
-This is the TPU-shape of the reference's ``match_list`` contract
-(reference: src/matcher/mod.rs:205-222 + src/sort.rs): same result set, same
-total order, produced by one device program instead of a per-haystack loop.
+Sorting is capacity-branched: matched rows are stable-partitioned to the
+front in O(B) elementwise work, then only the smallest covering capacity
+(8k / 64k / 256k / all) is actually sorted — the device analog of the
+reference sorting its ``Vec<Match>`` of survivors, not the whole corpus
+(reference: src/matcher/mod.rs:205-222 + src/sort.rs).
+
+Fetched rows are packed to two int32 words ([index, meta]) to halve
+transport on latency/bandwidth-limited host links.
 """
 
 from __future__ import annotations
@@ -20,7 +26,15 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .kernels import fuzzy_match_units
+from .kernels import (
+    INT16_MOSAIC_OK,
+    block_rows,
+    fuzzy_match_units,
+    match_units,
+    pack_needle_scalars,
+    score_fits_int16,
+)
+from .presence import needle_need_matrix
 from .fuzzy import fuzzy_pipeline
 from .literal import (
     literal_pipeline,
@@ -32,6 +46,9 @@ INT32_MAX = jnp.iinfo(jnp.int32).max
 
 FUZZY_MODE = "fuzzy"
 
+# Sort capacities (padded upward per corpus); see _select_sorted
+SORT_CAPS = (8192, 65536, 262144)
+
 
 def _bucket_pattern_result(
     b, needle_orig, needle_flip, sc,
@@ -40,27 +57,26 @@ def _bucket_pattern_result(
 ):
     """One pattern over one bucket -> (matched, score, exact, end_col,
     greedy), each sized to the bucket's rows."""
-    needle_packed = (
-        jnp.concatenate([needle_orig, needle_flip]).astype(jnp.int32)
-        if use_kernel and mode == FUZZY_MODE else None
-    )
     if use_kernel and mode == FUZZY_MODE:
         # Fused Pallas path (byte or codepoint units)
-        cp_units, nu2, _idx = b
+        cp_units, nu2, _idx, mask4, _bits8 = b
+        needle_packed = jnp.concatenate(
+            [needle_orig, needle_flip]
+        ).astype(jnp.int32)
         return fuzzy_match_units(
             cp_units, nu2, needle_packed,
             max_typos=max_typos, no_prefilter=no_prefilter,
-            scoring=scoring, unicode=unicode,
+            scoring=scoring, unicode=unicode, mask4=mask4,
         )
     if use_kernel and unicode:
-        cp32, nu2, _idx = b
+        cp32, nu2, _idx, _mask4, _bits8 = b
         m, s, e, ec, g, _ws, _we = literal_pipeline_units(
             cp32, nu2, needle_orig, needle_flip, sc,
             mode=mode, needle_byte_len=needle_byte_len, scoring=scoring,
         )
         return m, s, e, ec, g
     if use_kernel:
-        cp8, nu2, _idx = b
+        cp8, nu2, _idx, _mask4, _bits8 = b
         m, s, e, ec, g, _ws, _we = literal_pipeline_ascii(
             cp8, nu2, needle_orig, needle_flip, sc,
             mode=mode, needle_byte_len=needle_byte_len, scoring=scoring,
@@ -80,44 +96,90 @@ def _bucket_pattern_result(
     return m, s, e, ec, g
 
 
-def _pack_misc(exact, end_col, greedy):
-    """exact -> bit 17, greedy -> bit 16, end_col -> bits 0..15."""
+def _pack_meta(score, exact, greedy, end_col):
+    """meta word: score<<16 | exact<<15 | greedy<<14 | end_col (14 bits).
+
+    end_col is a byte offset within one haystack window, <= 4096 for the
+    widest unicode bucket, so 14 bits are exact. Score is the saturated
+    u16; bit patterns above 2^15 ride the int32 sign bit and are decoded
+    with a uint32 view on the host."""
     return (
-        (exact.astype(jnp.int32) << 17)
-        | (greedy.astype(jnp.int32) << 16)
-        | jnp.minimum(end_col, 0xFFFF)
+        jnp.left_shift(score & 0xFFFF, 16)
+        | (exact.astype(jnp.int32) << 15)
+        | (greedy.astype(jnp.int32) << 14)
+        | jnp.minimum(end_col, 0x3FFF)
     )
 
 
-def _sort_matches_desc(matched, score, exact, end_col, greedy, index,
-                       n, score_bound):
-    """Device sort by (matched first, score desc, index asc).
+def _select_sorted(matched, score, exact, end_col, greedy, index,
+                   n, score_bound, sort_by_score):
+    """Device select+sort: [index, meta] rows with all matches first in
+    the configured order, via stable partition + capacity-branched sort.
 
     When the static score bound and the corpus size fit one int32, score
     and index pack into a single composite key (score in the high bits,
-    complemented index below) and the sort carries two operands instead of
-    three; otherwise a two-key sort with a packed payload."""
-    packed = _pack_misc(exact, end_col, greedy)
+    complemented index below) so the sort carries two operands; otherwise
+    a two-key sort."""
+    B = matched.shape[0]
+    count = jnp.sum(matched).astype(jnp.int32)
+    meta = _pack_meta(score, exact, greedy, end_col)
+    if B == 0:
+        return count, jnp.zeros((0, 2), jnp.int32)
+
     idx_bits = max((n - 1).bit_length(), 1)
-    if (
-        score_bound is not None
+    composite = (
+        sort_by_score
+        and score_bound is not None
         and score_bound.bit_length() + idx_bits <= 31
-    ):
+    )
+
+    # stable partition of matched rows to the front (O(B) elementwise)
+    m32 = matched.astype(jnp.int32)
+    cs = jnp.cumsum(m32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
+    pos = jnp.where(matched, cs - 1, count + iota - cs)
+
+    if composite:
         idx_mask = (1 << idx_bits) - 1
         comp = (score << idx_bits) | (idx_mask - index)
-        key = jnp.where(matched, -comp, 1).astype(jnp.int32)
-        key, packed = jax.lax.sort((key, packed), num_keys=1)
-        comp = -key
-        index = idx_mask - (comp & idx_mask)
-        score = comp >> idx_bits
-        # unmatched rows decode to garbage index; restore the sentinel
-        index = jnp.where(key == 1, INT32_MAX, index)
-        score = jnp.where(key == 1, 0, score)
-        return jnp.stack([index, score, packed], axis=1)
-    key1 = jnp.where(matched, -score, 1).astype(jnp.int32)
-    key2 = jnp.where(matched, index, INT32_MAX).astype(jnp.int32)
-    key1, key2, packed = jax.lax.sort((key1, key2, packed), num_keys=2)
-    return jnp.stack([key2, -key1, packed], axis=1)
+        key = jnp.where(matched, -comp, INT32_MAX).astype(jnp.int32)
+    elif sort_by_score:
+        key = jnp.where(matched, -score, INT32_MAX).astype(jnp.int32)
+    else:
+        key = jnp.where(matched, index, INT32_MAX).astype(jnp.int32)
+    key_p = jnp.full((B,), INT32_MAX, jnp.int32).at[pos].set(key)
+    meta_p = jnp.zeros((B,), jnp.int32).at[pos].set(meta)
+    idx_p = jnp.zeros((B,), jnp.int32).at[pos].set(index)
+
+    caps = [c for c in SORT_CAPS if c < B] + [B]
+
+    def sort_cap(cap):
+        if composite:
+            k2, m2 = jax.lax.sort((key_p[:cap], meta_p[:cap]), num_keys=1)
+            comp2 = -k2
+            i2 = idx_mask - (comp2 & idx_mask)
+        elif sort_by_score:
+            k2, i2, m2 = jax.lax.sort(
+                (key_p[:cap], idx_p[:cap], meta_p[:cap]), num_keys=2
+            )
+        else:
+            i2, m2 = jax.lax.sort((key_p[:cap], meta_p[:cap]), num_keys=1)
+        head = jnp.stack([i2, m2], axis=1)
+        if cap < B:
+            tail = jnp.stack([idx_p[cap:], meta_p[cap:]], axis=1)
+            head = jnp.concatenate([head, tail], axis=0)
+        return head
+
+    if len(caps) > 1:
+        which = jnp.sum(
+            jnp.stack([count > c for c in caps[:-1]]).astype(jnp.int32)
+        )
+        rows = jax.lax.switch(
+            which, [functools.partial(sort_cap, c) for c in caps]
+        )
+    else:
+        rows = sort_cap(B)
+    return count, rows
 
 
 def _fused_match_body(
@@ -131,7 +193,7 @@ def _fused_match_body(
     # stability of the public jits.
     parts = []
     for b in buckets:
-        idx_b = b[-1] if len(b) == 3 else b[7]
+        idx_b = b[2] if len(b) == 5 else b[7]
         rows = idx_b.shape[0]
         # size-class padding rows carry index -1 and can never match
         cm = idx_b >= 0
@@ -164,22 +226,13 @@ def _fused_match_body(
     c_matched, c_score, c_exact, c_end, c_greedy, index = (
         jnp.concatenate([p[i] for p in parts]) for i in range(6)
     )
-    count = jnp.sum(c_matched).astype(jnp.int32)
-    if sort_by_score:
-        out = _sort_matches_desc(c_matched, c_score, c_exact, c_end,
-                                 c_greedy, index, n, score_bound)
-    else:
-        key2 = jnp.where(c_matched, index, INT32_MAX).astype(jnp.int32)
-        packed = _pack_misc(c_exact, c_end, c_greedy)
-        key2, score, packed = jax.lax.sort(
-            (key2, c_score, packed), num_keys=1
-        )
-        out = jnp.stack([key2, score, packed], axis=1)
+    count, out = _select_sorted(
+        c_matched, c_score, c_exact, c_end, c_greedy, index,
+        n, score_bound, sort_by_score,
+    )
     # Row 0 carries the match count so count + top rows arrive in ONE
     # device->host fetch (the transport roundtrip is the latency floor)
-    header = jnp.stack(
-        [count, jnp.int32(0), jnp.int32(0)]
-    )[None, :]
+    header = jnp.stack([count, jnp.int32(0)])[None, :]
     return jnp.concatenate([header, out], axis=0)
 
 
@@ -191,7 +244,7 @@ def _fused_match_body(
     ),
 )
 def fused_match_sorted(
-    buckets,  # per-bucket tuples: jnp 8-tuples, or kernel 3-tuples
+    buckets,  # per-bucket tuples: jnp 8-tuples, or kernel 4-tuples
     patterns,  # tuple of per-pattern (needle_orig, needle_flip, sc) tuples
     xl_mask,  # (n,) bool: rows longer than the largest bucket (host path)
     *,
@@ -203,12 +256,12 @@ def fused_match_sorted(
     unicode: bool = False,
     score_bound=None,
 ):
-    """One-call corpus match. Returns out (1+n, 3) int32.
+    """One-call corpus match. Returns out (1+rows, 2) int32.
 
-    Row 0 is [match_count, 0, 0]; rows 1.. are [index, score, packed] with
-    packed = exact<<17 | needs_greedy<<16 | end_col. Matched rows come first
-    in (score desc, index asc) order when ``sort_by_score``, else index asc.
-    Multi-pattern combination per the reference model
+    Row 0 is [match_count, 0]; rows 1.. are [index, meta] with
+    meta = score<<16 | exact<<15 | needs_greedy<<14 | end_col. Matched rows
+    come first in (score desc, index asc) order when ``sort_by_score``,
+    else index asc. Multi-pattern combination per the reference model
     (src/matcher/multi.rs:84-152): non-negated scores sum (saturating u16),
     exact ORs, end_col maxes, negated patterns veto.
     """
@@ -222,7 +275,7 @@ def fused_match_sorted(
     jax.jit,
     static_argnames=(
         "n", "pattern_statics", "sort_by_score", "use_kernel", "unicode",
-        "score_bound", "fetch_rows",
+        "score_bound", "fetch_rows", "bucket_statics",
     ),
 )
 def fused_match_sorted_batch(
@@ -238,9 +291,10 @@ def fused_match_sorted_batch(
     unicode: bool = False,
     score_bound=None,
     fetch_rows: int = 6144,
+    bucket_statics=None,  # per bucket (ident_base, n_real) for the fast path
 ):
     """Pipelined serving: match Q shape-uniform queries against one resident
-    corpus in a single device program, one (Q, 1+fetch_rows, 3) fetch.
+    corpus in a single device program, one (Q, 1+fetch_rows, 2) fetch.
 
     The query loop is a ``lax.scan`` so the program is traced once
     regardless of Q — the device analog of running the reference's matcher
@@ -249,6 +303,23 @@ def fused_match_sorted_batch(
     Queries must agree on pattern count, per-pattern needle lengths, and
     statics; the caller groups by those.
     """
+
+    fast = (
+        use_kernel
+        and sort_by_score
+        and len(pattern_statics) == 1
+        and pattern_statics[0][4] == FUZZY_MODE
+        and not pattern_statics[0][2]  # not negated
+        and score_bound is not None
+        and score_bound.bit_length() + max((n - 1).bit_length(), 1) <= 31
+    )
+    if fast:
+        return _fused_match_batch_fast(
+            buckets, stacked_patterns[0], n=n,
+            statics=pattern_statics[0], unicode=unicode,
+            score_bound=score_bound, fetch_rows=fetch_rows,
+            bucket_statics=bucket_statics,
+        )
 
     def body(carry, patterns):
         out = _fused_match_body(
@@ -259,3 +330,200 @@ def fused_match_sorted_batch(
 
     _, outs = jax.lax.scan(body, jnp.int32(0), stacked_patterns)
     return outs
+
+
+def _fused_match_batch_fast(
+    buckets,  # kernel 5-tuples: (cp, nu, idx, mask4, bits8)
+    pattern,  # (orig (Q,n), flip (Q,n), sc (Q,9))
+    *,
+    n: int,
+    statics,  # (typos, no_prefilter, negated, scoring, mode, nbl)
+    unicode: bool,
+    score_bound: int,
+    fetch_rows: int,
+    bucket_statics=None,  # per bucket (ident_base, n_real); base -1 = no
+):
+    """Q-batched single-pattern serving: the hot path.
+
+    The per-query device floors on this class of backend are sorts and
+    row-gathers (see benchmarks/probe_xla*.jsonl: a 131k-row sort costs
+    about as much as an 8k-row one, gathers cost ~21 ns *per row*
+    regardless of row width, and elementwise stage-1 costs ~1 ms/query at
+    1M rows). The structure:
+
+      P1 (batched, MXU): stage-1 presence for ALL queries is ONE int8
+          matmul per bucket — presence-bit matrix (B, 128) x needle-need
+          matrix (128, Q) -> hits. Survivor permutations come from one
+          batched (Q, B) single-operand sort per bucket, whose key packs
+          [reject-flag | n_units | row], so the kernel's unit counts ride
+          the sort for free (survivor order is irrelevant: the composite
+          result key restores (score, index) order in P3).
+      P2 (scan over Q): ONE row-gather of the corpus at the static
+          survivor capacity, then the fused prefilter+SW kernel, then
+          composite result keys. Row indices are recovered arithmetically
+          when the bucket rows are a contiguous corpus range (the common
+          single-bucket case) — no second gather. A capacity miss (any
+          query over the 1/8 survivor budget) switches the whole batch to
+          the in-place flow, which skips compaction and runs the kernel
+          over every row.
+      P3 (batched): one (Q, cap) two-operand sort -> [index, meta] rows.
+    """
+    typos, no_prefilter, _neg, scoring, _mode, _nbl = statics
+    orig_q, flip_q, _sc_q = pattern
+    Q = orig_q.shape[0]
+    T = min(int(typos), n)
+    use_stage1 = not no_prefilter and n > T
+    if bucket_statics is None:
+        bucket_statics = ((-1, 0),) * len(buckets)
+
+    idx_bits = max((n - 1).bit_length(), 1)
+    idx_mask = (1 << idx_bits) - 1
+    needles_q = jnp.concatenate([orig_q, flip_q], axis=1).astype(jnp.int32)
+
+    def run_kernel(cp_k, nu_k, needle_q, count, width):
+        interpret = jax.default_backend() != "tpu"
+        return match_units(
+            cp_k, nu_k, pack_needle_scalars(needle_q, count),
+            max_typos=T, scoring=scoring, unicode=unicode,
+            no_prefilter=no_prefilter,
+            int16_lanes=(
+                (not unicode)
+                and score_fits_int16(scoring, n, width)
+                and (interpret or INT16_MOSAIC_OK)
+            ),
+            interpret=interpret,
+        )
+
+    def keys_from(out8, idx):
+        matched = (out8[:, 0] > 0) & (idx >= 0)
+        score = out8[:, 1]
+        meta = _pack_meta(
+            jnp.where(matched, score, 0),
+            matched & (out8[:, 2] > 0),
+            matched & (out8[:, 4] > 0),
+            jnp.where(matched, out8[:, 3], 0),
+        )
+        comp = (score << idx_bits) | (idx_mask - idx)
+        key = jnp.where(matched, -comp, INT32_MAX).astype(jnp.int32)
+        return key, meta, jnp.sum(matched).astype(jnp.int32)
+
+    def finalize(keys, metas, counts):
+        # P3: one batched two-operand sort, then decode [index, meta] rows
+        keys, metas = jax.lax.sort((keys, metas), dimension=1, num_keys=1)
+        comp = -keys
+        index = idx_mask - (comp & idx_mask)
+        rows = jnp.stack([index, metas], axis=2)[:, :fetch_rows]
+        if rows.shape[1] < fetch_rows:
+            rows = jnp.pad(
+                rows, ((0, 0), (0, fetch_rows - rows.shape[1]), (0, 0))
+            )
+        header = jnp.concatenate(
+            [counts[:, None, None],
+             jnp.zeros((Q, 1, 1), jnp.int32)], axis=2,
+        )
+        return jnp.concatenate([header, rows], axis=1)
+
+    def in_place_flow(perms, survivors):
+        def body(carry, xs):
+            needle_q = xs[0]
+            keys, metas, counts = [], [], []
+            for b in buckets:
+                cp, nu, idx, _m4, _bits8 = b
+                out8 = run_kernel(
+                    cp, nu, needle_q, cp.shape[0], cp.shape[1]
+                )
+                key, meta, cnt = keys_from(out8, idx)
+                keys.append(key)
+                metas.append(meta)
+                counts.append(cnt)
+            return carry, (
+                jnp.concatenate(keys), jnp.concatenate(metas),
+                jnp.sum(jnp.stack(counts)),
+            )
+
+        _, (keys, metas, counts) = jax.lax.scan(
+            body, jnp.int32(0), (needles_q,)
+        )
+        return finalize(keys, metas, counts)
+
+    def compacted_flow(perms, survivors):
+        # perms: per bucket (Q, B_b) packed keys; survivors: (Q, n_buckets)
+        def body(carry, xs):
+            needle_q, perm_bs, surv = xs
+            keys, metas, counts = [], [], []
+            for bi, b in enumerate(buckets):
+                cp, _nu, idx_arr, _m4, _bits8 = b
+                B, W = cp.shape
+                bbits = max((B - 1).bit_length(), 1)
+                cap = _bucket_cap(B, W)
+                pk = perm_bs[bi][:cap]
+                row = pk & ((1 << bbits) - 1)
+                nu_k = (
+                    jax.lax.shift_right_logical(pk, bbits)
+                    & ((1 << W.bit_length()) - 1)
+                )[:, None]
+                cp_k = jnp.take(cp, row, axis=0)
+                base, n_real = bucket_statics[bi]
+                if base >= 0:
+                    idx = jnp.where(row < n_real, row + base, -1)
+                else:
+                    idx = jnp.take(idx_arr, row)
+                cnt = jnp.minimum(surv[bi], cap)
+                out8 = run_kernel(cp_k, nu_k, needle_q, cnt, W)
+                key, meta, mcnt = keys_from(out8, idx)
+                keys.append(key)
+                metas.append(meta)
+                counts.append(mcnt)
+            return carry, (
+                jnp.concatenate(keys), jnp.concatenate(metas),
+                jnp.sum(jnp.stack(counts)),
+            )
+
+        _, (keys, metas, counts) = jax.lax.scan(
+            body, jnp.int32(0), (needles_q, perms, survivors)
+        )
+        return finalize(keys, metas, counts)
+
+    if not use_stage1:
+        return in_place_flow(None, None)
+
+    # P1: MXU stage-1 + one batched packed-key sort per bucket
+    need, tot = needle_need_matrix(needles_q)
+    thresh = tot - T  # (Q,) distinct bits that must be present
+    perms = []
+    surv_cols = []
+    for b in buckets:
+        cp, nu, _idx, _mask4, bits8 = b
+        B, W = cp.shape
+        bbits = max((B - 1).bit_length(), 1)
+        hits = jax.lax.dot_general(
+            bits8, need, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (B, Q)
+        s1 = hits >= thresh[None, :]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
+        keyb = (nu[:, 0] << bbits) | iota  # query-independent base
+        key = jnp.where(
+            s1, keyb[:, None], keyb[:, None] | (1 << (bbits + W.bit_length()))
+        )
+        perm = jax.lax.sort(key.T, dimension=1)  # (Q, B) packed
+        perms.append(perm)
+        surv_cols.append(jnp.sum(s1, axis=0).astype(jnp.int32))
+    survivors = jnp.stack(surv_cols, axis=1)  # (Q, n_buckets)
+    fits = jnp.all(
+        survivors
+        <= jnp.asarray(
+            [_bucket_cap(b[0].shape[0], b[0].shape[1]) for b in buckets],
+            jnp.int32,
+        )[None, :]
+    )
+    return jax.lax.cond(
+        fits, compacted_flow, in_place_flow, tuple(perms), survivors
+    )
+
+
+def _bucket_cap(B: int, W: int) -> int:
+    """Static survivor capacity for the compacted flow: 1/8 of the bucket,
+    rounded up to whole kernel blocks."""
+    tbo = block_rows(W)
+    return min(B, -(-(B // 8) // tbo) * tbo)

@@ -1,4 +1,4 @@
-"""Fused Pallas TPU kernels: prefilter + Smith-Waterman over packed units.
+"""Fused Pallas TPU kernel: prefilter + Smith-Waterman over packed units.
 
 One kernel family covers both packings: ASCII (units are bytes, int8 input)
 and Unicode (units are codepoints, int32 input) — the UTF-8 byte context
@@ -6,32 +6,48 @@ the scoring schedule needs (first byte, previous unit's last byte, byte
 offsets, byte lengths) is derived from the codepoints inside VMEM, so HBM
 traffic is one read of the unit matrix plus tiny result writes.
 
-Mirrors the reference's two-phase shape — a cheap typo-tolerant subsequence
-prefilter rejects most haystacks before the affine-gap DP (reference:
-src/matcher/algo.rs:78-103) — as two VPU kernels with a device-side
-compaction between them:
+Round-2 architecture (one device pass instead of two):
 
-1. ``prefilter``: one pass over every (TB, W) tile; emits matched + the
-   conservative byte-window trim.
-2. compaction (plain XLA): a stable partition moves surviving rows to the
-   front (cumsum positions + one row gather); the survivor count C rides
-   into the DP kernel as a prefetched scalar.
-3. ``sw``: the full bonus-schedule affine-gap DP, but only tiles whose rows
-   lie below C do any compute — cost scales with survivors, like the
-   reference, while shapes stay static for XLA.
+1. **Stage-1 presence reject** (plain XLA, ops/presence.py): per-row
+   128-bit char-presence masks are precomputed once per corpus; a query
+   rejects rows missing more needle units than the typo budget in a few
+   elementwise ops. This is the TPU-native form of the reference's cheap
+   char-presence scan (reference: src/prefilter/algo/ascii.rs:6-54) with
+   the scan cost moved to pack time.
+2. **Compaction** (plain XLA): stable partition moves stage-1 survivors to
+   the front; a capacity switch picks the smallest precompiled kernel size
+   that covers the survivor count, so kernel cost scales with survivors.
+3. **``match_units``** (this file): ONE fused Pallas kernel runs the exact
+   positional prefilter (typo-budget minimal-position DP), the start-1
+   window trim, and the full bonus-schedule affine-gap DP per tile.
+   Fusing the two phases halves grid-step overhead and keeps the window
+   values in VMEM (the reference runs them as two passes over a Vec,
+   src/matcher/algo.rs:78-103; on TPU the phases share one streamed tile).
+
+Kernel shape choices (v5e measurements, see benchmarks/probe_*.jsonl):
+
+- Fat grid steps with an inner sub-tile loop: the backend has a fixed
+  per-grid-step cost, so each step streams ``SUBTILES`` sub-tiles and
+  loops over them in VMEM (``lax.fori_loop`` + ``pl.ds``), cutting step
+  count 8x without the register pressure of a fat vectorized body.
+- Dynamic needle length: the needle rides in SMEM via scalar prefetch,
+  padded to ``MAX_KERNEL_NEEDLE``; the per-unit loops are ``fori_loop``s
+  bounded by the runtime length, so ONE Mosaic program serves every
+  needle length (the reference monomorphizes per SIMD backend instead).
+- int16 score lanes for ASCII configs whose score bound fits (the analog
+  of the reference's u8/u16 dual-precision backends,
+  src/smith_waterman/mod.rs:92-116): 2x VPU lanes on the default scoring.
+  Dispatch: ``score_fits_int16``. Unicode stays int32 (codepoint compares
+  don't fit 16 bits and mixed-width masks relayout).
 
 Lanes are haystack units, sublanes are haystacks (inter-sequence
-parallelism — the layout the reference rejected for CPU SIMD,
-reference README.md:179, and the natural fit for the 8x128 VPU). The
-left-to-right gap recurrence is an exact max-plus prefix scan
-(cummax(c + q) - q with q the exclusive cumsum of per-column gap costs) in
-log2(W) lane shifts; semantics are identical to ops/fuzzy.py's jnp pipeline
-(the differential-testing oracle for these kernels, itself pinned to the
-host oracle and the reference's scoring tests).
-
-The needle rides in SMEM via scalar prefetch; scoring constants and the
-typo budget are compile-time constants (queries change needles often,
-scoring configs almost never).
+parallelism — the layout the reference rejected for CPU SIMD, reference
+README.md:179, and the natural fit for the 8x128 VPU). The left-to-right
+gap recurrence is an exact max-plus prefix scan (cummax(c + q) - q with q
+the exclusive cumsum of per-column gap costs) in log2(W) lane shifts;
+semantics are identical to ops/fuzzy.py's jnp pipeline (the differential
+-testing oracle for these kernels, itself pinned to the host oracle and
+the reference's scoring tests).
 """
 
 from __future__ import annotations
@@ -45,27 +61,65 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import MAX_HAYSTACK_LEN
+from .presence import stage1_presence
 
-NEG_BIG = -(1 << 30)
-# Longest needle the unrolled kernels accept; longer needles take the jnp
-# pipeline (they are vanishingly rare for interactive fuzzy matching)
+# Longest needle the kernel accepts (SMEM pad size); longer needles take
+# the jnp pipeline (they are vanishingly rare for interactive matching)
 MAX_KERNEL_NEEDLE = 64
 
 DEFAULT_SCORING = (12, 6, 5, 1, 12, 4, 4, 8, 4)
 
+# Sub-tiles per grid step: amortizes the backend's fixed per-step cost
+SUBTILES = 8
+
+# int16 score lanes compile and pass parity in interpreter mode, but the
+# current Mosaic TPU backend cannot lower them: measured failures are
+# "Reductions over int16 not implemented", "Rotate with non-32-bit data",
+# and "Target does not support this comparison" (vector<...xi16> slt).
+# Flip this on when the toolchain gains 16-bit VPU lowering — dispatch
+# (score_fits_int16) and the kernel are already wired for it.
+INT16_MOSAIC_OK = False
+
 
 def _tile_rows(width: int) -> int:
-    """Rows per grid step; bounds live VMEM to ~ a dozen (TB, W) i32 arrays.
-    (Measured on v5e: larger tiles do not help — the prefilter slows down
-    ~2x at TB=1024, likely register/VMEM pressure.)"""
-    return max(32, min(512, 32768 // width))
+    """Sub-tile rows: bounds live VMEM working arrays to ~ a dozen
+    (TBI, W) vectors (measured on v5e: fatter vectorized bodies regress
+    on register/VMEM pressure — fatness comes from SUBTILES instead)."""
+    return max(8, min(256, 32768 // width))
+
+
+def block_rows(width: int) -> int:
+    """Rows per grid step (the streamed block)."""
+    return _tile_rows(width) * SUBTILES
+
+
+def score_fits_int16(scoring: Tuple[int, ...], n: int, width: int) -> bool:
+    """True when every DP intermediate provably fits int16 lanes.
+
+    Max cell score: n * (match + matching_case + max(cap, delim)) +
+    prefix + exact (context bonuses are mutually exclusive per char);
+    the scan intermediate c+q adds at most W * (gap_extend + gap_open').
+    The analog of the reference's u8-width dispatch predicate
+    (src/smith_waterman/mod.rs:92-116 score_fits_in_u8)."""
+    (match_score, _mismatch, gap_open, gap_ext, prefix_b, cap_b, case_b,
+     exact_b, delim_b) = scoring
+    per_char = match_score + case_b + max(cap_b, delim_b)
+    bound = n * per_char + prefix_b + exact_b
+    qmax = width * (gap_ext + max(gap_open - gap_ext, 0))
+    return bound + qmax < 30000
 
 
 def _shift_right(x, d, fill, col):
     """Shift lanes right by ``d`` (toward higher index), filling with
-    ``fill``; ``col`` is the lane-index iota of x's shape."""
-    rolled = pltpu.roll(x, d, axis=1)
-    return jnp.where(col < d, fill, rolled)
+    ``fill``; ``col`` is the lane-index iota of x's shape/dtype.
+
+    int32 uses the native lane rotate; narrower dtypes use a static
+    slice+concat (Mosaic's rotate is 32-bit only)."""
+    if x.dtype == jnp.int32:
+        rolled = pltpu.roll(x, d, axis=1)
+        return jnp.where(col < d, jnp.asarray(fill, x.dtype), rolled)
+    head = jnp.full((x.shape[0], d), fill, x.dtype)
+    return jnp.concatenate([head, x[:, : x.shape[1] - d]], axis=1)
 
 
 def _cumsum_lanes(x, col, width):
@@ -76,38 +130,56 @@ def _cumsum_lanes(x, col, width):
     return x
 
 
-def _cummax_lanes(x, col, width):
+def _cummax_lanes(x, col, width, neg_big):
     d = 1
     while d < width:
-        x = jnp.maximum(x, _shift_right(x, d, NEG_BIG, col))
+        x = jnp.maximum(x, _shift_right(x, d, neg_big, col))
         d *= 2
     return x
+
+
+def _rmin(x):
+    """Cross-lane min in int32 lanes (Mosaic has no int16 reductions),
+    result cast back to x's dtype."""
+    return jnp.min(
+        x.astype(jnp.int32), axis=1, keepdims=True
+    ).astype(x.dtype)
+
+
+def _rmax(x):
+    return jnp.max(
+        x.astype(jnp.int32), axis=1, keepdims=True
+    ).astype(x.dtype)
 
 
 def _gather_lane(x, idx, col):
     """x[:, idx] per row via masked sum; idx (TB,1), zero when idx is out
     of lanes (matches the jnp pipeline's zero-padded byte_off gathers)."""
-    return jnp.sum(jnp.where(col == idx, x, 0), axis=1, keepdims=True)
+    return jnp.sum(
+        jnp.where(col == idx, x, 0).astype(jnp.int32),
+        axis=1, keepdims=True,
+    ).astype(x.dtype)
 
 
-def _unit_context(hay, valid, col, width, unicode):
+def _unit_context(hay, valid, col, width, unicode, acc):
     """(first_byte, prev_last_byte, byte_off, byte_len, n_bytes) derived
-    from unit values. ASCII: unit == byte, so context is trivial."""
+    from unit values, in ``acc`` lanes. ASCII: unit == byte, context is
+    trivial. ``hay`` is int32 here (byte values 0..255 or codepoints)."""
     if not unicode:
-        first = hay
-        prev = _shift_right(hay, 1, -1, col)
-        prev = jnp.where(valid, prev, -1)
+        first = hay.astype(acc)
+        prev = _shift_right(first, 1, -1, col)
+        prev = jnp.where(valid, prev, jnp.asarray(-1, acc))
         boff = jnp.where(valid, col, 0)
-        blen = valid.astype(jnp.int32)
-        n_bytes = jnp.sum(blen, axis=1, keepdims=True)
-        return first, prev, boff, blen, n_bytes
+        blen = valid.astype(acc)
+        n_bytes = jnp.sum(blen.astype(jnp.int32), axis=1, keepdims=True)
+        return first, prev, boff, blen, n_bytes.astype(acc)
     blen = (
         1
         + (hay >= 0x80).astype(jnp.int32)
         + (hay >= 0x800).astype(jnp.int32)
         + (hay >= 0x10000).astype(jnp.int32)
     )
-    blen = jnp.where(valid, blen, 0)
+    blen = jnp.where(valid, blen, 0).astype(acc)
     first = jnp.where(
         hay < 0x80,
         hay,
@@ -117,114 +189,138 @@ def _unit_context(hay, valid, col, width, unicode):
             jnp.where(hay < 0x10000, 0xE0 | (hay >> 12), 0xF0 | (hay >> 18)),
         ),
     )
-    first = jnp.where(valid, first, 0)
-    last = jnp.where(hay < 0x80, hay, 0x80 | (hay & 0x3F))
+    first = jnp.where(valid, first, 0).astype(acc)
+    last = jnp.where(hay < 0x80, hay, 0x80 | (hay & 0x3F)).astype(acc)
     prev = _shift_right(last, 1, -1, col)
-    prev = jnp.where(valid, prev, -1)
+    prev = jnp.where(valid, prev, jnp.asarray(-1, acc))
     boff = _shift_right(_cumsum_lanes(blen, col, width), 1, 0, col)
     boff = jnp.where(valid, boff, 0)
-    n_bytes = jnp.sum(blen, axis=1, keepdims=True)
-    return first, prev, boff, blen, n_bytes
+    n_bytes = jnp.sum(blen.astype(jnp.int32), axis=1, keepdims=True)
+    return first, prev, boff, blen, n_bytes.astype(acc)
 
 
-def _prefilter_body(needle_ref, hay, nu, col, n, T, width, unicode):
-    """Minimal-position DP over the typo budget. Returns
-    (matched, wstart_raw, wend), byte positions, each (TB, 1). Semantics
-    contract: oracle/prefilter.py; jnp twin: ops/fuzzy.py
-    prefilter_bucket."""
-    tb = hay.shape[0]
-    BIG = width + 1
-    valid = col < nu
-    _first, _prev, boff, blen, n_bytes = _unit_context(
-        hay, valid, col, width, unicode
-    )
+def _match_tile(scalars_ref, hay_in, nu, n, T, width, scoring, unicode,
+                no_prefilter, acc):
+    """Fused prefilter + windowed SW for one (TBI, W) sub-tile.
 
-    def occ_of(k):
-        return valid & ((hay == needle_ref[k]) | (hay == needle_ref[n + k]))
-
-    if n <= T:
-        ones = jnp.ones((tb, 1), jnp.bool_)
-        return ones, jnp.zeros((tb, 1), jnp.int32), n_bytes
-
-    f = [jnp.zeros((tb, 1), jnp.int32) for _ in range(T + 1)]
-    first_occ_start = jnp.full((tb, 1), BIG, jnp.int32)
-    start_zero = jnp.zeros((tb, 1), jnp.int32)
-    occ_last = None
-    for k in range(n):
-        occ = occ_of(k)
-        if k == n - 1:
-            occ_last = occ
-        if k <= T:
-            first_occ_start = jnp.minimum(
-                first_occ_start,
-                jnp.min(jnp.where(occ, col, BIG), axis=1, keepdims=True),
-            )
-        nf = []
-        for t in range(T + 1):
-            nxt_occ = jnp.min(
-                jnp.where(occ & (col >= f[t]), col, BIG),
-                axis=1, keepdims=True,
-            )
-            nxt = jnp.where(
-                f[t] <= width, jnp.minimum(nxt_occ + 1, BIG), BIG
-            )
-            if t > 0:
-                nxt = jnp.minimum(nxt, f[t - 1])
-            nf.append(nxt)
-        if k == 0:
-            start_zero = jnp.minimum(nf[0] - 1, width)
-        f = nf
-    matched = f[T] <= width
-
-    if T == 0:
-        last_pos = f[0] - 1
-        e = jnp.max(
-            jnp.where(occ_last & (col >= last_pos), col, -1),
-            axis=1, keepdims=True,
-        )
-        start_u = jnp.clip(start_zero, 0, width - 1)
-        wstart = _gather_lane(boff, start_u, col)
-    else:
-        start_u = jnp.clip(first_occ_start, 0, width - 1)
-        wstart = jnp.where(
-            first_occ_start <= width,
-            _gather_lane(boff, start_u, col),
-            0,
-        )
-        occ_tail = jnp.zeros((tb, width), jnp.bool_)
-        for k in range(max(n - 1 - T, 0), n):
-            occ_tail = occ_tail | occ_of(k)
-        e = jnp.max(jnp.where(occ_tail, col, -1), axis=1, keepdims=True)
-    e_c = jnp.clip(e, 0, width - 1)
-    wend = _gather_lane(boff, e_c, col) + _gather_lane(blen, e_c, col)
-    wend = jnp.where(e >= 0, wend, n_bytes)
-    wstart = jnp.where(matched, wstart, 0)
-    wend = jnp.where(matched, wend, n_bytes)
-    return matched, wstart, wend
-
-
-def _sw_body(needle_ref, hay, nu, wstart_raw, wend, col, n, width, scoring,
-             unicode):
-    """Windowed affine-gap Smith-Waterman with the full bonus schedule.
-    Windows are byte positions. Returns (score, exact, end_col), each
-    (TB, 1). jnp twin: ops/fuzzy.py sw_score_bucket."""
+    ``scalars_ref`` layout: [count, n, orig x MAXN, flip x MAXN] (SMEM).
+    Returns int32 (TBI, 1) columns:
+    (matched, score, exact, end_col, greedy). Semantics contract:
+    ops/fuzzy.py fuzzy_pipeline (the jnp differential twin)."""
     (match_score, mismatch, gap_open, gap_ext, prefix_b, cap_b, case_b,
      exact_b, delim_b) = scoring
     gop_extra = max(gap_open - gap_ext, 0)
-    tb = hay.shape[0]
+    tb = hay_in.shape[0]
     BIG = width + 1
-    valid = col < nu
-    fb, pb, boff, blen, n_bytes = _unit_context(
-        hay, valid, col, width, unicode
-    )
+    NEG = -(20000 if acc == jnp.int16 else (1 << 30))
 
-    # window trim (start-1 keeps delimiter context;
-    # reference: src/matcher/algo.rs:332-338)
+    hay = hay_in.astype(jnp.int32)
+    if not unicode:
+        hay = hay & 0xFF
+    col32 = jax.lax.broadcasted_iota(jnp.int32, (tb, width), 1)
+    col = col32.astype(acc)
+    # every mask in the acc domain comes from acc-typed compares: Mosaic
+    # can't relayout i1 vectors between 16- and 32-bit mask layouts
+    valid = col < jnp.minimum(nu, BIG).astype(acc)  # nu (TBI,1) int32
+    fb, pb, boff, blen, n_bytes = _unit_context(
+        hay, valid, col, width, unicode, acc
+    )
+    if not unicode and acc == jnp.int16:
+        hay_c = hay.astype(acc)  # byte compares in int16 lanes
+
+        def needle_val(k, flip):
+            return scalars_ref[2 + (MAX_KERNEL_NEEDLE if flip else 0) + k
+                               ].astype(acc)
+    else:
+        hay_c = hay
+
+        def needle_val(k, flip):
+            return scalars_ref[2 + (MAX_KERNEL_NEEDLE if flip else 0) + k]
+
+    def occ_of(k):
+        return valid & (
+            (hay_c == needle_val(k, False)) | (hay_c == needle_val(k, True))
+        )
+
+    zero1 = jnp.zeros((tb, 1), acc)
+
+    # ---- positional prefilter (minimal-position DP over the typo budget;
+    # semantics contract: oracle/prefilter.py) -----------------------------
+    if no_prefilter:
+        matched = jnp.ones((tb, 1), jnp.bool_)
+        wstart_raw = zero1
+        wend = n_bytes
+    else:
+        def pf_body(k, carry):
+            f, fos, start0, tail = carry
+            occ = occ_of(k)
+            fo = _rmin(jnp.where(occ, col, jnp.asarray(BIG, acc)))
+            fos = jnp.where(k <= T, jnp.minimum(fos, fo), fos)
+            nf = []
+            for t in range(T + 1):
+                nxt_occ = _rmin(
+                    jnp.where(occ & (col >= f[t]), col,
+                              jnp.asarray(BIG, acc))
+                )
+                nxt = jnp.where(
+                    f[t] <= width,
+                    jnp.minimum(nxt_occ + 1, jnp.asarray(BIG, acc)),
+                    jnp.asarray(BIG, acc),
+                )
+                if t > 0:
+                    nxt = jnp.minimum(nxt, f[t - 1])
+                nf.append(nxt)
+            start0 = jnp.where(
+                k == 0, jnp.minimum(nf[0] - 1, jnp.asarray(width, acc)),
+                start0,
+            )
+            # masks carry as integer lanes: Mosaic's loop lowering can't
+            # legalize i1 vector block arguments
+            tail = jnp.where((k >= n - 1 - T) & occ, jnp.asarray(1, acc),
+                             tail)
+            return tuple(nf), fos, start0, tail
+
+        f0 = tuple(zero1 for _ in range(T + 1))
+        fos0 = jnp.full((tb, 1), BIG, acc)
+        tail0 = jnp.zeros((tb, width), acc)
+        f, fos, start0, tail_i = jax.lax.fori_loop(
+            0, n, pf_body, (f0, fos0, zero1, tail0)
+        )
+        tail = tail_i > 0
+        matched = f[T] <= width
+        if T == 0:
+            last_pos = f[0] - 1
+            e = _rmax(
+                jnp.where(tail & (col >= last_pos), col,
+                          jnp.asarray(-1, acc))
+            )
+            start_u = jnp.clip(start0, 0, width - 1)
+            wstart_raw = _gather_lane(boff, start_u, col)
+        else:
+            e = _rmax(jnp.where(tail, col, jnp.asarray(-1, acc)))
+            start_u = jnp.clip(fos, 0, width - 1)
+            wstart_raw = jnp.where(
+                fos <= width, _gather_lane(boff, start_u, col), 0
+            )
+        e_c = jnp.clip(e, 0, width - 1)
+        wend = _gather_lane(boff, e_c, col) + _gather_lane(blen, e_c, col)
+        wend = jnp.where(e >= 0, wend, n_bytes)
+        wstart_raw = jnp.where(matched, wstart_raw, 0)
+        wend = jnp.where(matched, wend, n_bytes)
+        # a needle no longer than the typo budget matches everything
+        # (reference: src/prefilter/algo/ascii_typos.rs:263-267)
+        auto = n <= T
+        matched = matched | auto
+        wstart_raw = jnp.where(auto, 0, wstart_raw)
+        wend = jnp.where(auto, n_bytes, wend)
+
+    # ---- windowed affine-gap Smith-Waterman (full bonus schedule;
+    # jnp twin: ops/fuzzy.py sw_score_bucket) ------------------------------
+    # trim: start-1 keeps delimiter context (ref: src/matcher/algo.rs:332)
     wstart = jnp.maximum(wstart_raw - 1, 0)
     include_exact = (wstart == 0) & (wend == n_bytes)
-
     active = valid & (boff >= wstart) & (boff + blen <= wend)
-    first_unit = jnp.min(jnp.where(active, col, BIG), axis=1, keepdims=True)
+    first_unit = _rmin(jnp.where(active, col, jnp.asarray(BIG, acc)))
     is_first = active & (col == first_unit)
     include_prefix = wstart == 0
 
@@ -239,225 +335,194 @@ def _sw_body(needle_ref, hay, nu, wstart_raw, wend, col, n, width, scoring,
     cap_mask = is_upper & prev_lower & ~is_first
     delim_mask = delim(pb) & ~delim(fb) & ~is_first
     bonus = (
-        jnp.where(cap_mask, cap_b, 0)
-        + jnp.where(delim_mask, delim_b, 0)
-        + jnp.where(is_first & include_prefix, prefix_b, 0)
-    ).astype(jnp.int32)
+        jnp.where(cap_mask, jnp.asarray(cap_b, acc), 0)
+        + jnp.where(delim_mask, jnp.asarray(delim_b, acc), 0)
+        + jnp.where(is_first & include_prefix, jnp.asarray(prefix_b, acc), 0)
+    )
 
-    prev_row = jnp.zeros((tb, width), jnp.int32)
-    prev_mm = jnp.zeros((tb, width), jnp.bool_)
-    for k in range(n):
-        o = needle_ref[k]
-        fl = needle_ref[n + k]
-        match = active & ((hay == o) | (hay == fl))
-        exactc = active & (hay == o)
-
+    def sw_body(k, carry):
+        prev_row, prev_mm, neq = carry
+        o32 = scalars_ref[2 + k]
+        match = active & (
+            (hay_c == needle_val(k, False)) | (hay_c == needle_val(k, True))
+        )
+        exactc = active & (hay_c == needle_val(k, False))
         diag_base = _shift_right(prev_row, 1, 0, col)
         diag_m = (
-            diag_base + match_score + bonus + jnp.where(exactc, case_b, 0)
+            diag_base + jnp.asarray(match_score, acc) + bonus
+            + jnp.where(exactc, jnp.asarray(case_b, acc), 0)
         )
         diag_u = jnp.maximum(diag_base - mismatch, 0)
         diag = jnp.where(match, diag_m, diag_u)
         up = jnp.maximum(
-            prev_row - gap_ext - jnp.where(prev_mm, gop_extra, 0), 0
+            prev_row - gap_ext
+            - jnp.where(prev_mm > 0, jnp.asarray(gop_extra, acc), 0),
+            0,
         )
         c = jnp.maximum(diag, up)
-        p = gap_ext + jnp.where(match, gop_extra, 0)
+        p = gap_ext + jnp.where(match, jnp.asarray(gop_extra, acc), 0)
         q = _shift_right(_cumsum_lanes(p, col, width), 1, 0, col)
-        prev_row = _cummax_lanes(c + q, col, width) - q
-        prev_mm = match
+        prev_row = _cummax_lanes(c + q, col, width, NEG) - q
+        # exact-equality accumulation: unit k of the haystack vs the needle
+        # (case-sensitive; reference: src/matcher/algo.rs:245-248)
+        hk = jnp.sum(jnp.where(col32 == k, hay, 0), axis=1, keepdims=True)
+        neq = neq | (hk != o32).astype(jnp.int32)
+        return prev_row, match.astype(acc), neq
 
-    # Mask lanes past the window: their mismatch-decayed values can exceed
-    # the true in-window max (jnp twin has the same mask)
-    prev_row = jnp.where(active, prev_row, 0)
-    score = jnp.maximum(jnp.max(prev_row, axis=1, keepdims=True), 0)
-    end_unit = jnp.min(
-        jnp.where(prev_row == score, col, BIG), axis=1, keepdims=True
+    prev_row, _mm, neq_i = jax.lax.fori_loop(
+        0, n,
+        sw_body,
+        (
+            jnp.zeros((tb, width), acc),
+            jnp.zeros((tb, width), acc),
+            jnp.zeros((tb, 1), jnp.int32),
+        ),
     )
-    # Pad lanes map to byte offset 0, matching the jnp pipeline's
-    # zero-padded byte_off gather (only reachable on unmatched rows)
+    neq = neq_i > 0
+    # Lanes past the window: mismatch-decayed values can exceed the true
+    # in-window max (the jnp twin applies the same mask)
+    prev_row = jnp.where(active, prev_row, 0)
+    score = jnp.maximum(_rmax(prev_row), 0)
+    end_unit = _rmin(
+        jnp.where(prev_row == score, col, jnp.asarray(BIG, acc))
+    )
     end_b = _gather_lane(boff, jnp.minimum(end_unit, width - 1), col)
     end_col = jnp.where(score > 0, end_b, wstart)
 
-    # exact match (unit equality over the whole haystack;
-    # reference: src/matcher/algo.rs:245-248)
-    if n <= width:
-        neq = jnp.zeros((tb, 1), jnp.bool_)
-        for k in range(n):
-            neq = neq | (hay[:, k:k + 1] != needle_ref[k])
-        exact = include_exact & (nu == n) & ~neq
-    else:
-        exact = jnp.zeros((tb, 1), jnp.bool_)
-    score = jnp.where(exact, jnp.minimum(score + exact_b, 0xFFFF), score)
-    return score, exact, end_col
-
-
-def _pad_rows(x, tb):
-    pad = (-x.shape[0]) % tb
-    if pad:
-        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-    return x
-
-
-def _block_specs(TB, W, n_tensors):
-    return [
-        pl.BlockSpec((TB, W if i == 0 else 1), lambda j, *_: (j, 0),
-                     memory_space=pltpu.VMEM)
-        for i in range(n_tensors)
-    ]
+    exact = include_exact & (nu == n) & ~neq
+    score32 = score.astype(jnp.int32)
+    score32 = jnp.where(
+        exact, jnp.minimum(score32 + exact_b, 0xFFFF), score32
+    )
+    greedy = matched & (
+        (wend.astype(jnp.int32) - wstart.astype(jnp.int32))
+        > MAX_HAYSTACK_LEN
+    )
+    return (
+        matched.astype(jnp.int32),
+        score32,
+        exact.astype(jnp.int32),
+        end_col.astype(jnp.int32),
+        greedy.astype(jnp.int32),
+    )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_typos", "unicode", "interpret")
+    jax.jit,
+    static_argnames=(
+        "max_typos", "scoring", "unicode", "no_prefilter", "int16_lanes",
+        "interpret",
+    ),
 )
-def prefilter_units(
+def match_units(
     cp: jnp.ndarray,  # (B, W) int8 bytes (ascii) or int32 codepoints
     n_units: jnp.ndarray,  # (B, 1) int32
-    needle_packed: jnp.ndarray,  # (2n,) int32: orig then flip
+    scalars: jnp.ndarray,  # (2 + 2*MAXN,) int32: count, n, orig pad, flip pad
     *,
     max_typos: int = 0,
-    unicode: bool = False,
-    interpret: bool = False,
-):
-    """Prefilter a packed bucket. Returns (B, 3) int32:
-    matched, wstart_raw (byte), wend (byte)."""
-    B, W = cp.shape
-    n = needle_packed.shape[0] // 2
-    TB = _tile_rows(W)
-    cp = _pad_rows(cp, TB)
-    n_units = _pad_rows(n_units, TB)
-    Bp = cp.shape[0]
-    T = int(max_typos)
-
-    def kernel(needle_ref, cp_ref, nu_ref, out_ref):
-        hay = cp_ref[:].astype(jnp.int32)
-        if not unicode:
-            hay = hay & 0xFF
-        nu = nu_ref[:]
-        col = jax.lax.broadcasted_iota(jnp.int32, hay.shape, 1)
-        matched, wstart_raw, wend = _prefilter_body(
-            needle_ref, hay, nu, col, n, T, W, unicode
-        )
-        out_ref[:, 0:1] = matched.astype(jnp.int32)
-        out_ref[:, 1:2] = wstart_raw
-        out_ref[:, 2:3] = wend
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(Bp // TB,),
-        in_specs=[
-            pl.BlockSpec((TB, W), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 1), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TB, 3), lambda i, *_: (i, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((Bp, 3), jnp.int32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(needle_packed, cp, n_units)
-    return out[:B]
-
-
-@functools.partial(
-    jax.jit, static_argnames=("scoring", "unicode", "interpret")
-)
-def sw_units(
-    cp: jnp.ndarray,  # (B, W) int8/int32 (typically compacted)
-    n_units: jnp.ndarray,  # (B, 1) int32
-    wstart_raw: jnp.ndarray,  # (B, 1) int32 untrimmed window start (byte)
-    wend: jnp.ndarray,  # (B, 1) int32 window end (byte, exclusive)
-    count: jnp.ndarray,  # (1,) int32: rows needing DP; tiles past it skip
-    needle_packed: jnp.ndarray,  # (2n,) int32
-    *,
     scoring: Tuple[int, ...] = DEFAULT_SCORING,
     unicode: bool = False,
+    no_prefilter: bool = False,
+    int16_lanes: bool = False,
     interpret: bool = False,
 ):
-    """Windowed Smith-Waterman over the first ``count`` rows. Returns
-    (B, 3) int32: score, exact, end_col (rows >= count are zero)."""
+    """Fused prefilter + SW over the first ``scalars[0]`` rows. Returns
+    (B, 8) int32: matched, score, exact, end_col, greedy, 0, 0, 0 (rows
+    at/after the count are zero)."""
     B, W = cp.shape
-    n = needle_packed.shape[0] // 2
-    TB = _tile_rows(W)
-    cp = _pad_rows(cp, TB)
-    n_units = _pad_rows(n_units, TB)
-    wstart_raw = _pad_rows(wstart_raw, TB)
-    wend = _pad_rows(wend, TB)
+    T = int(max_typos)
+    TBI = _tile_rows(W)
+    # small inputs don't pad up to a full fat block: one grid step with
+    # only as many sub-tiles as the rows need
+    TBO = TBI * min(SUBTILES, max(1, -(-B // TBI)))
+    pad = (-B) % TBO
+    if pad:
+        cp = jnp.pad(cp, ((0, pad), (0, 0)))
+        n_units = jnp.pad(n_units, ((0, pad), (0, 0)))
     Bp = cp.shape[0]
+    acc = jnp.int16 if int16_lanes else jnp.int32
 
-    # needle scalars and the count share one prefetch array:
-    # [count, orig..., flip...]
-    scalars = jnp.concatenate(
-        [count.astype(jnp.int32), needle_packed.astype(jnp.int32)]
-    )
+    def kernel(scalars_ref, cp_ref, nu_ref, out_ref):
+        base = pl.program_id(0) * TBO
+        count = scalars_ref[0]
+        n = scalars_ref[1]
 
-    def kernel(scalars_ref, cp_ref, nu_ref, ws_ref, we_ref, out_ref):
-        i = pl.program_id(0)
+        def sub(s, _):
+            off = s * TBI
 
-        class _NeedleView:
-            def __getitem__(self, k):
-                return scalars_ref[k + 1]
+            @pl.when(base + off < count)
+            def _():
+                res = _match_tile(
+                    scalars_ref,
+                    cp_ref[pl.ds(off, TBI), :],
+                    nu_ref[pl.ds(off, TBI), :],
+                    n, T, W, scoring, unicode, no_prefilter, acc,
+                )
+                out_ref[pl.ds(off, TBI), :] = jnp.concatenate(
+                    list(res) + [jnp.zeros((TBI, 3), jnp.int32)], axis=1
+                )
 
-        @pl.when(i * TB < scalars_ref[0])
-        def _():
-            hay = cp_ref[:].astype(jnp.int32)
-            if not unicode:
-                hay = hay & 0xFF
-            nu = nu_ref[:]
-            col = jax.lax.broadcasted_iota(jnp.int32, hay.shape, 1)
-            score, exact, end_col = _sw_body(
-                _NeedleView(), hay, nu, ws_ref[:], we_ref[:], col, n, W,
-                scoring, unicode,
-            )
-            out_ref[:, 0:1] = score
-            out_ref[:, 1:2] = exact.astype(jnp.int32)
-            out_ref[:, 2:3] = end_col
+            @pl.when(base + off >= count)
+            def _():
+                out_ref[pl.ds(off, TBI), :] = jnp.zeros(
+                    (TBI, 8), jnp.int32
+                )
 
-        @pl.when(i * TB >= scalars_ref[0])
-        def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
+            return 0
+
+        jax.lax.fori_loop(0, TBO // TBI, sub, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(Bp // TB,),
+        grid=(Bp // TBO,),
         in_specs=[
-            pl.BlockSpec((TB, W), lambda i, *_: (i, 0),
+            pl.BlockSpec((TBO, W), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 1), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 1), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 1), lambda i, *_: (i, 0),
+            pl.BlockSpec((TBO, 1), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TB, 3), lambda i, *_: (i, 0),
+        out_specs=pl.BlockSpec((TBO, 8), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((Bp, 3), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Bp, 8), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(scalars, cp, n_units, wstart_raw, wend)
+    )(scalars, cp, n_units)
     return out[:B]
+
+
+def pack_needle_scalars(needle_packed: jnp.ndarray, count) -> jnp.ndarray:
+    """[count, n, orig x MAXN, flip x MAXN] int32 for the SMEM prefetch."""
+    n = needle_packed.shape[0] // 2
+    assert n <= MAX_KERNEL_NEEDLE
+    orig = jnp.zeros((MAX_KERNEL_NEEDLE,), jnp.int32).at[:n].set(
+        needle_packed[:n].astype(jnp.int32)
+    )
+    flip = jnp.zeros((MAX_KERNEL_NEEDLE,), jnp.int32).at[:n].set(
+        needle_packed[n:].astype(jnp.int32)
+    )
+    head = jnp.stack(
+        [jnp.asarray(count, jnp.int32), jnp.asarray(n, jnp.int32)]
+    )
+    return jnp.concatenate([head, orig, flip])
 
 
 def fuzzy_match_units(
     cp: jnp.ndarray,  # (B, W) int8 (ascii) or int32 (unicode)
     n_units: jnp.ndarray,  # (B, 1) int32
-    needle_packed: jnp.ndarray,  # (2n,) int32
+    needle_packed: jnp.ndarray,  # (2n,) int32: orig then flip
     *,
     max_typos: int = 0,
     no_prefilter: bool = False,
     scoring: Tuple[int, ...] = DEFAULT_SCORING,
     unicode: bool = False,
     interpret: bool = None,
+    mask4: jnp.ndarray = None,  # (B, 4) int32 presence masks (optional)
 ):
-    """Full fused fuzzy match: prefilter -> compact -> DP.
+    """Full fused fuzzy match: stage-1 presence reject -> compact ->
+    fused prefilter+DP kernel -> scatter back.
 
     Returns (matched, score, exact, end_col, needs_greedy), each (B,).
     Composable inside a larger jit. The bucket width must be lane-aligned
@@ -470,76 +535,72 @@ def fuzzy_match_units(
     if interpret is None:
         # Compiled Mosaic on TPU; interpreter everywhere else (CPU tests)
         interpret = jax.default_backend() != "tpu"
+    T = min(int(max_typos), n)
+    int16_lanes = (
+        (not unicode)
+        and score_fits_int16(scoring, n, W)
+        and (interpret or INT16_MOSAIC_OK)
+    )
+    TBO = block_rows(W)
 
-    if no_prefilter:
-        matched = jnp.ones((B,), jnp.bool_)
-        wstart_raw = jnp.zeros((B, 1), jnp.int32)
-        if unicode:
-            # window end = total bytes; cheap on-device derivation
-            blen = (
-                1
-                + (cp >= 0x80).astype(jnp.int32)
-                + (cp >= 0x800).astype(jnp.int32)
-                + (cp >= 0x10000).astype(jnp.int32)
-            )
-            cols = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
-            blen = jnp.where(cols < n_units, blen, 0)
-            wend = jnp.sum(blen, axis=1, keepdims=True)
-        else:
-            wend = n_units
-        count = jnp.full((1,), B, jnp.int32)
-        out = sw_units(
-            cp, n_units, wstart_raw, wend, count, needle_packed,
-            scoring=scoring, unicode=unicode, interpret=interpret,
-        )
-        greedy = matched & ((wend[:, 0] - 0) > MAX_HAYSTACK_LEN)
-        return (
-            matched, out[:, 0], out[:, 1].astype(jnp.bool_), out[:, 2],
-            greedy,
-        )
-
-    pf = prefilter_units(
-        cp, n_units, needle_packed, max_typos=max_typos, unicode=unicode,
+    run = functools.partial(
+        match_units,
+        max_typos=T, scoring=scoring, unicode=unicode,
+        no_prefilter=no_prefilter, int16_lanes=int16_lanes,
         interpret=interpret,
     )
-    matched = pf[:, 0].astype(jnp.bool_)
-    wstart_raw = pf[:, 1:2]
-    wend = pf[:, 2:3]
 
-    # Stable partition: survivors first. pos[i] = compacted slot of row i.
-    m32 = matched.astype(jnp.int32)
+    def unpack(out, matched_pre=None):
+        matched = out[:, 0].astype(jnp.bool_)
+        if matched_pre is not None:
+            matched = matched & matched_pre
+        score = jnp.where(matched, out[:, 1], 0)
+        exact = matched & out[:, 2].astype(jnp.bool_)
+        end_col = jnp.where(matched, out[:, 3], 0)
+        greedy = matched & out[:, 4].astype(jnp.bool_)
+        return matched, score, exact, end_col, greedy
+
+    # Stage-1 presence reject: sound superset of the positional prefilter
+    # (a needle unit absent from the row costs >= 1 typo), so it never
+    # drops a true match. Skipped when the DP is unconditional.
+    use_stage1 = (
+        mask4 is not None and not no_prefilter and n > T and B >= 2 * TBO
+    )
+    if not use_stage1:
+        scalars = pack_needle_scalars(needle_packed, B)
+        return unpack(run(cp, n_units, scalars))
+
+    s1 = stage1_presence(mask4, needle_packed, T)
+    m32 = s1.astype(jnp.int32)
     cs = jnp.cumsum(m32)
     C = cs[-1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
-    pos = jnp.where(matched, cs - 1, C + iota - cs)
+    pos = jnp.where(s1, cs - 1, C + iota - cs)
     perm = jnp.zeros((B,), jnp.int32).at[pos].set(iota)
 
-    cp_c = jnp.take(cp, perm, axis=0)
-    nu_c = jnp.take(n_units, perm, axis=0)
-    ws_c = jnp.take(wstart_raw, perm, axis=0)
-    we_c = jnp.take(wend, perm, axis=0)
-
-    # Capacity branching: the DP kernel's fixed cost (input DMA + grid
-    # machinery) scales with the array it streams, not with the compute it
-    # skips — so pick among precompiled capacity variants by the survivor
-    # count. Typical prefilter pass rates are <=10% (the reference reports
-    # ~8% on Chromium), so the small branch usually runs.
-    TB = _tile_rows(W)
-
-    def run_cap(cap):
-        out = sw_units(
-            cp_c[:cap], nu_c[:cap], ws_c[:cap], we_c[:cap],
-            jnp.minimum(C, cap)[None], needle_packed,
-            scoring=scoring, unicode=unicode, interpret=interpret,
-        )
-        return jnp.pad(out, ((0, B - cap), (0, 0)))
-
+    # Capacity switch: kernel cost (grid steps + DMA) scales with the
+    # array it streams, so pick the smallest precompiled capacity that
+    # covers the survivor count (same shapes repeat across corpora via
+    # the corpus size classes, so the compile cache hits).
     caps = []
-    for div in (16, 4):
-        cap = -(-(B // div) // TB) * TB
+    for div in (32, 8, 2):
+        cap = min(B, -(-(B // div) // TBO) * TBO)
         if 0 < cap < B and cap not in caps:
             caps.append(cap)
-    if B >= 4 * TB and caps:
+
+    def run_cap(cap):
+        permc = perm[:cap] if cap < B else perm
+        cpc = jnp.take(cp, permc, axis=0)
+        nuc = jnp.take(n_units, permc, axis=0)
+        scalars = pack_needle_scalars(
+            needle_packed, jnp.minimum(C, cap)
+        )
+        out = run(cpc, nuc, scalars)
+        if cap < B:
+            out = jnp.pad(out, ((0, B - cap), (0, 0)))
+        return out
+
+    if caps:
         branches = [functools.partial(run_cap, c) for c in caps]
         branches.append(functools.partial(run_cap, B))
         which = jnp.sum(
@@ -549,29 +610,20 @@ def fuzzy_match_units(
     else:
         out_c = run_cap(B)
     out = jnp.take(out_c, pos, axis=0)  # back to original row order
-    score = jnp.where(matched, out[:, 0], 0)
-    exact = matched & out[:, 1].astype(jnp.bool_)
-    end_col = jnp.where(matched, out[:, 2], 0)
-    trimmed = jnp.maximum(wstart_raw[:, 0] - 1, 0)
-    greedy = matched & ((wend[:, 0] - trimmed) > MAX_HAYSTACK_LEN)
-    return matched, score, exact, end_col, greedy
+    return unpack(out, matched_pre=s1)
 
 
 def fuzzy_match_ascii(
     cp, n_units, needle_packed, *,
     max_typos: int = 0, no_prefilter: bool = False,
     scoring: Tuple[int, ...] = DEFAULT_SCORING, interpret: bool = None,
+    mask4=None,
 ):
     """ASCII compatibility wrapper (greedy can never trigger: bucket width
     <= MAX_HAYSTACK_LEN bytes). Returns (matched, score, exact, end_col)."""
     m, s, e, ec, _g = fuzzy_match_units(
         cp, n_units, needle_packed, max_typos=max_typos,
         no_prefilter=no_prefilter, scoring=scoring, unicode=False,
-        interpret=interpret,
+        interpret=interpret, mask4=mask4,
     )
     return m, s, e, ec
-
-
-# Back-compat aliases for the ASCII-only entry points
-prefilter_ascii = functools.partial(prefilter_units, unicode=False)
-sw_ascii = functools.partial(sw_units, unicode=False)

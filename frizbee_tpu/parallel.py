@@ -48,10 +48,14 @@ def initialize_distributed(**kwargs) -> Mesh:
                                       num_processes=4, process_id=rank)
 
     With no kwargs, jax.distributed.initialize autodetects the environment
-    (TPU pod metadata / cluster envvars). The corpus shards over the global
-    mesh exactly like the single-host path; the all_gather merge rides ICI
-    within a slice and DCN across slices, and the result remains identical
-    to sequential matching (deterministic (score, index) total order).
+    (TPU pod metadata / cluster envvars). Smoke-tested at 2 CPU processes
+    (tests/test_multihost.py: coordination service + global mesh + one
+    collective). The collectives in ``sharded_match_topk`` ride ICI within
+    a slice and DCN across slices and keep the deterministic
+    (score, index) total order; note that feeding a multi-controller mesh
+    additionally requires per-process corpus loading
+    (``jax.make_array_from_process_local_data`` instead of
+    ``match_corpus_sharded``'s single-controller ``device_put``).
     """
     jax.distributed.initialize(**kwargs)
     return make_mesh()
@@ -78,23 +82,30 @@ def _local_match_topk(
     # Padding rows carry row_index == PAD_INDEX already; mask them out
     matched = matched & (row_index != PAD_INDEX)
     key1, key2 = _order_keys(matched, score, row_index)
-    key1, key2, score, exact, end_col = jax.lax.sort(
-        (key1, key2, score, exact.astype(jnp.int32), end_col), num_keys=2
+    # exact and needs_greedy share one operand through the sort + gather:
+    # greedy rows must reach the host for rescoring (their device score is
+    # a window-capped approximation), so the flag can't be dropped here
+    aux = (exact.astype(jnp.int32) << 1) | needs_greedy.astype(jnp.int32)
+    key1, key2, score, aux, end_col = jax.lax.sort(
+        (key1, key2, score, aux, end_col), num_keys=2
     )
     k = min(k, key1.shape[0])
-    return key1[:k], key2[:k], score[:k], exact[:k], end_col[:k]
+    return key1[:k], key2[:k], score[:k], aux[:k], end_col[:k]
 
 
-def _merge_topk(key1, key2, score, exact, end_col, k):
+def _merge_topk(key1, key2, score, aux, end_col, k):
     """Merge gathered per-shard sorted runs into the global top-k."""
-    key1, key2, score, exact, end_col = jax.lax.sort(
-        (key1.ravel(), key2.ravel(), score.ravel(), exact.ravel(),
+    key1, key2, score, aux, end_col = jax.lax.sort(
+        (key1.ravel(), key2.ravel(), score.ravel(), aux.ravel(),
          end_col.ravel()),
         num_keys=2,
     )
     k = min(k, key1.shape[0])
     matched = key2[:k] != PAD_INDEX
-    return matched, key2[:k], score[:k], exact[:k].astype(jnp.bool_), end_col[:k]
+    return (
+        matched, key2[:k], score[:k], (aux[:k] >> 1).astype(jnp.bool_),
+        end_col[:k], (aux[:k] & 1).astype(jnp.bool_),
+    )
 
 
 @functools.partial(
@@ -111,18 +122,20 @@ def sharded_match_topk(
     Inputs are the packed bucket arrays (see corpus.PackedBucket) with the
     batch dim padded to a multiple of the mesh size; padding rows must carry
     ``row_index == PAD_INDEX``. Returns replicated
-    (matched, index, score, exact, end_col), each (k,): the global top-k rows
-    in (score desc, index asc) order.
+    (matched, index, score, exact, end_col, needs_greedy), each (k,): the
+    global top-k rows in (score desc, index asc) order. Rows flagged
+    needs_greedy carry a window-capped device score and must be rescored on
+    the host (match_corpus_sharded does).
     """
 
     def shard_fn(cp, fb, plb, boff, blen, nu, nb, ridx, orig, flip, sc):
-        key1, key2, score, exact, end_col = _local_match_topk(
+        key1, key2, score, aux, end_col = _local_match_topk(
             cp, fb, plb, boff, blen, nu, nb, ridx, orig, flip, sc,
             max_typos=max_typos, no_prefilter=no_prefilter, k=k,
         )
         # The collective: per-shard sorted top-k rides ICI to every device
         g = jax.lax.all_gather(
-            (key1, key2, score, exact, end_col), DATA_AXIS, tiled=False
+            (key1, key2, score, aux, end_col), DATA_AXIS, tiled=False
         )
         return _merge_topk(*g, k)
 
@@ -132,7 +145,7 @@ def sharded_match_topk(
         shard_fn,
         mesh=mesh,
         in_specs=(shard,) * 8 + (repl,) * 3,
-        out_specs=(repl,) * 5,
+        out_specs=(repl,) * 6,
         check_vma=False,
     )(
         cp, first_byte, prev_last_byte, byte_off, byte_len, n_units, n_bytes,
@@ -194,8 +207,8 @@ def match_corpus_sharded(
         sharding = NamedSharding(mesh, P(DATA_AXIS))
         repl = NamedSharding(mesh, P())
         dev_arrs = [jax.device_put(a, sharding) for a in arrs]
-        matched, index, score, exact, end_col = [
-            np.asarray(x)
+        matched, index, score, exact, end_col, greedy = [
+            np.array(x)  # writable: greedy rows are patched below
             for x in sharded_match_topk(
                 *dev_arrs,
                 jax.device_put(orig, repl),
@@ -204,7 +217,17 @@ def match_corpus_sharded(
                 mesh=mesh, max_typos=typos, no_prefilter=no_prefilter, k=k,
             )
         ]
-        sel = matched
+        # Greedy rows (trimmed window > DP cap) carry capped device scores;
+        # rescore on the host like the single-device engine does
+        keep = matched.copy()
+        for j in np.nonzero(matched & greedy)[0]:
+            m = engine.match_one(corpus.haystacks[int(index[j])],
+                                 int(index[j]))
+            if m is None:
+                keep[j] = False
+            else:
+                score[j], exact[j], end_col[j] = m.score, m.exact, m.end_col
+        sel = keep
         parts.append(
             (index[sel], score[sel], exact[sel].astype(bool), end_col[sel])
         )

@@ -4,7 +4,7 @@ API parity with the reference's free functions (reference: src/sort.rs,
 src/k_merge.rs, re-exported at src/lib.rs:111,121-123). The reference's
 2-pass LSB radix sort exists because comparison sorts are slow on CPU for
 100k+ elements; here the hot path sorts on device (ops/batch.py), so these
-host utilities are NumPy-vectorized counting sorts with the same contracts:
+host utilities are stable NumPy sorts with the same contracts:
 
 - ``sort_matches``: stable sort by score descending — combined with the
   stable preservation of index order this yields (score desc, index asc),
@@ -26,8 +26,10 @@ from .types import Match
 def sort_matches(matches: Sequence[Match]) -> List[Match]:
     """Stable sort by u16 score, descending (reference: src/sort.rs:6-40).
 
-    Counting sort over the score key — O(n + 65536) like the reference's
-    two radix passes, stable so equal scores keep input (index) order.
+    A stable NumPy argsort over the u16 score key; equal scores keep input
+    (index) order, reproducing the reference's radix-sort output exactly
+    (the radix trick itself isn't needed — this host path only handles
+    small result sets and test corpora; bulk sorting happens on device).
     """
     if len(matches) <= 1:
         return list(matches)

@@ -109,3 +109,48 @@ def test_kernel_wide_bucket():
 def test_kernel_typo3_path():
     hay = ["dxxf", "df", "deadbeef", "zzzz", "dbef"]
     _kernel_vs_jnp(hay, "dbef", 3)
+
+
+def test_kernel_int16_lanes_parity():
+    """The u8/u16 dual-precision analog: int16 score lanes must agree with
+    int32 bit-for-bit whenever score_fits_int16 admits the config
+    (reference: src/smith_waterman/mod.rs:92-116). Interpreter-mode only:
+    the current Mosaic backend can't lower 16-bit VPU ops (see
+    kernels.INT16_MOSAIC_OK)."""
+    import jax.numpy as jnp
+
+    from frizbee_tpu.ops.kernels import (
+        match_units,
+        pack_needle_scalars,
+        score_fits_int16,
+    )
+    from frizbee_tpu.ops.kernels import DEFAULT_SCORING
+
+    assert score_fits_int16(DEFAULT_SCORING, 8, 128)
+    hay = generate_haystack(
+        "deadbeef",
+        HaystackGenerationOptions(
+            seed=77, partial_match_percentage=0.4, match_percentage=0.2,
+            median_length=40, std_dev_length=25, num_samples=300,
+        ),
+    )
+    corpus = pack_corpus(hay, unicode=False, bucket_widths=(128,))
+    b = corpus.buckets[0]
+    cp8 = jnp.asarray(b.cp.astype(np.uint8).astype(np.int8))
+    nu = jnp.asarray(b.n_units.astype(np.int32)[:, None])
+    needle = np.frombuffer(b"deadbeef", dtype=np.uint8).astype(np.int32)
+    scalars = pack_needle_scalars(
+        jnp.asarray(np.concatenate([needle, needle])), cp8.shape[0]
+    )
+    outs = [
+        np.asarray(
+            match_units(
+                cp8, nu, scalars, max_typos=t, unicode=False,
+                no_prefilter=False, int16_lanes=i16, interpret=True,
+            )
+        )
+        for t in (0, 1)
+        for i16 in (False, True)
+    ]
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[2], outs[3])

@@ -1,0 +1,113 @@
+"""The Q-batched fast serving path (ops/batch._fused_match_batch_fast) and
+``match_topk_batch``, differential-tested against the per-query device path
+and the host oracle on the CPU backend.
+
+Corpora here are sized past the kernel block size so the compacted flow
+(stage-1 MXU matmul -> packed-key sort -> gather -> kernel) actually runs,
+and include an all-match case that forces the capacity-miss in-place flow.
+"""
+
+import numpy as np
+import pytest
+
+from frizbee_tpu.config import Config
+from frizbee_tpu.corpus import pack_corpus
+from frizbee_tpu.datagen import (
+    all_match_corpus,
+    partial_match_corpus,
+    unicode_corpus,
+)
+from frizbee_tpu.matcher import Matcher, match_arrays_batch, match_topk_batch
+
+QUERIES = ["deadbeef", "feedbead", "badcafes", "dead"]
+
+
+@pytest.fixture(scope="module")
+def corpus_partial():
+    hay = partial_match_corpus(median_length=24, num_samples=4500, seed=7)
+    return pack_corpus(hay, unicode=False)
+
+
+def _assert_query_parity(corpus, queries, cfg, k=None):
+    if k is None:
+        res = match_arrays_batch(queries, corpus, cfg)
+    else:
+        res = match_topk_batch(queries, corpus, cfg, k=k)
+    for q, r in zip(queries, res):
+        ref = Matcher.from_query(q, cfg, use_device=False).match_arrays(
+            corpus
+        )
+        if k is None:
+            got = r
+        else:
+            count, got = r[0], r[1:]
+            assert count == len(ref[0])
+            ref = tuple(a[:k] for a in ref)
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_fast_compacted_flow_parity(corpus_partial):
+    _assert_query_parity(corpus_partial, QUERIES, Config())
+
+
+def test_fast_topk_counts_and_rows(corpus_partial):
+    _assert_query_parity(corpus_partial, QUERIES, Config(), k=50)
+
+
+def test_fast_in_place_flow_all_match():
+    # every row matches -> survivor capacity misses -> in-place flow
+    hay = all_match_corpus(median_length=24, num_samples=4500, seed=8)
+    corpus = pack_corpus(hay, unicode=False)
+    _assert_query_parity(corpus, ["deadbeef", "dbef"], Config())
+
+
+def test_fast_typo_budgets(corpus_partial):
+    for t in (1, 2):
+        _assert_query_parity(
+            corpus_partial, ["deadbeef", "daedbeef"], Config(max_typos=t)
+        )
+
+
+def test_fast_no_prefilter(corpus_partial):
+    _assert_query_parity(
+        corpus_partial, ["dead", "beef"], Config(max_typos=None)
+    )
+
+
+def test_fast_unicode_corpus():
+    hay = unicode_corpus(
+        "arabic", num_samples=4200, median_units=18, needle="إن",
+        seed=9,
+    )
+    corpus = pack_corpus(hay, unicode=True)
+    _assert_query_parity(
+        corpus, ["إن", "نه"], Config()
+    )
+
+
+def test_batch_unit_mode_mismatch_falls_back():
+    # ADVICE round-1 (high): an ASCII query served against a unicode-packed
+    # corpus must not run the fused path in codepoint units — scores must
+    # equal the per-query path's byte semantics.
+    hay = ["a¢b", "ab", "xax b", "a b"] * 64
+    corpus = pack_corpus(hay, unicode=True)
+    res = match_arrays_batch(["ab", "é"], corpus, Config())
+    for q, r in zip(["ab", "é"], res):
+        ref = Matcher.from_query(q, Config(), use_device=False).match_arrays(
+            hay
+        )
+        for a, b in zip(r, ref):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_fast_multi_bucket_corpus():
+    # mixed lengths spread across two width buckets -> the non-identity
+    # index path (per-bucket contiguity broken) still decodes indices
+    hay = partial_match_corpus(median_length=24, num_samples=2200, seed=11)
+    hay += [h * 9 for h in
+            partial_match_corpus(median_length=20, num_samples=2200,
+                                 seed=12)]
+    corpus = pack_corpus(hay, unicode=False)
+    assert len(corpus.buckets) >= 2
+    _assert_query_parity(corpus, ["deadbeef", "beef"], Config())

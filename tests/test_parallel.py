@@ -87,3 +87,27 @@ def test_mesh_topk_unicode(corpus_small):
     seq = Matcher("إن", Config()).match_list(hay)[:24]
     assert [m.index for m in seq] == list(index[: len(seq)])
     assert [m.score for m in seq] == list(score[: len(seq)])
+
+
+def test_mesh_greedy_rows_rescored():
+    """ADVICE round-1 (medium): unicode rows whose trimmed window exceeds
+    MAX_HAYSTACK_LEN bytes must be host-rescored on the parallel path too —
+    parallel == sequential includes greedy/XL windows."""
+    from frizbee_tpu.parallel import make_mesh, match_corpus_sharded
+
+    hay = (
+        ["linux kernel", "nope", "l" + "ل" * 600 + "inux"]
+        + ["لinuلx" + "ل" * 600]
+        + ["filler%d" % i for i in range(12)]
+    )
+    cfg = Config()
+    engine = FuzzyEngine("linux", cfg)
+    corpus = pack_corpus(hay, unicode=True)
+    mesh = make_mesh(4)
+    index, score, exact, end_col = match_corpus_sharded(
+        corpus, engine, mesh, k=16
+    )
+    seq = Matcher("linux", cfg, use_device=False).match_arrays(hay)
+    np.testing.assert_array_equal(index, seq[0][:16])
+    np.testing.assert_array_equal(score, seq[1][:16])
+    np.testing.assert_array_equal(end_col, seq[3][:16])

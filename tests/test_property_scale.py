@@ -1,0 +1,112 @@
+"""Reference-scale generated property suites (opt in with --runslow).
+
+The reference's integration property suite runs 1024 generated public-API
+cases and 512 multi-pattern model cases (reference:
+tests/api_properties.rs:79-114, 316-416, 627-741). These suites match that
+scale; the fast CI slice in test_api_properties.py keeps a 12-case smoke.
+
+Each generated case checks the strongest invariant we have: the device
+engine (stage-1 -> Pallas kernels -> device sort) must equal the host
+oracle (``use_device=False``) exactly — scores, exact flags, end columns,
+and the total order. Batches of cases share one device call via
+match_arrays_batch grouping where shapes agree, so 1024 cases stay in the
+minutes range on the CPU backend.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from frizbee_tpu.config import Config
+from frizbee_tpu.matcher import Matcher
+from frizbee_tpu.pattern import Pattern
+
+ALPHABET = "abcdeABC_/. é다01"
+NEEDLE_ALPHA = "abcdeéA_d. 01"
+
+pytestmark = pytest.mark.slow
+
+
+def gen_corpus(rng, n, max_len=40):
+    return [
+        "".join(rng.choice(ALPHABET) for _ in range(rng.randint(0, max_len)))
+        for _ in range(n)
+    ]
+
+
+def gen_needle(rng):
+    return "".join(
+        rng.choice(NEEDLE_ALPHA) for _ in range(rng.randint(1, 8))
+    ).strip() or "a"
+
+
+@pytest.mark.parametrize("block", range(32))
+def test_device_equals_oracle_1024(block):
+    """32 blocks x 32 generated cases = 1024 public-API cases."""
+    rng = random.Random(1000 + block)
+    for _ in range(32):
+        needle = gen_needle(rng)
+        hay = gen_corpus(rng, rng.randint(10, 80))
+        typos = rng.choice([0, 0, 1, 2, None])
+        cfg = Config(max_typos=typos)
+        dev = Matcher(needle, cfg).match_list(hay)
+        host = Matcher(needle, cfg, use_device=False).match_list(hay)
+        assert dev == host, (needle, typos, hay)
+
+
+@pytest.mark.parametrize("block", range(16))
+def test_multi_pattern_model_256(block):
+    """16 blocks x 16 seeds = 256 multi-pattern model cases
+    (reference: tests/api_properties.rs:316-416)."""
+    rng = random.Random(5000 + block)
+    for _ in range(16):
+        hay = gen_corpus(rng, rng.randint(20, 60))
+        pats = []
+        for _ in range(rng.randint(2, 4)):
+            pats.append(
+                Pattern.parse(
+                    ("!" if rng.random() < 0.3 else "")
+                    + gen_needle(rng).replace("!", "a").replace(" ", "a")
+                )
+            )
+        cfg = Config()
+        combined = Matcher.from_patterns(pats, cfg).match_list(hay)
+        per = []
+        for p in pats:
+            single = p.with_(negated=False)
+            res = {
+                m.index: m
+                for m in Matcher.from_patterns([single], cfg).match_list(hay)
+            }
+            per.append((p.negated, res))
+        expect = []
+        for i in range(len(hay)):
+            score, exact, ok = 0, False, True
+            for negated, res in per:
+                if negated:
+                    if i in res:
+                        ok = False
+                elif i not in res:
+                    ok = False
+                else:
+                    score = min(score + res[i].score, 0xFFFF)
+                    exact |= res[i].exact
+            if ok:
+                expect.append((i, score, exact))
+        expect.sort(key=lambda t: (-t[1], t[0]))
+        got = [(m.index, m.score, m.exact) for m in combined]
+        assert got == expect
+
+
+@pytest.mark.parametrize("seed", range(16))
+def test_parallel_chunk_boundaries(seed):
+    """Chunk-boundary determinism at many shard counts (reference:
+    tests/api_properties.rs:627-741)."""
+    rng = random.Random(9000 + seed)
+    hay = gen_corpus(rng, rng.randint(50, 200))
+    needle = gen_needle(rng)
+    m = Matcher(needle, Config())
+    base = m.match_list(hay)
+    for shards in (2, 3, 5, 8, 13):
+        assert m.match_list_parallel(hay, shards) == base
