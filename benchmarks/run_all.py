@@ -186,55 +186,88 @@ def main():
                     help="fewer configs, 16 queries -> 8")
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--skip-chromium", action="store_true")
+    ap.add_argument("--only", type=str, default="",
+                    help="comma-separated config-name substrings to run "
+                         "(rows append to benchmarks/results.jsonl; the "
+                         "markdown table regenerates from that file)")
     args = ap.parse_args()
     N = args.n
     nq = 8 if args.quick else 16
+    only = [s for s in args.only.split(",") if s]
     rows = []
+
+    def want(name):
+        return not only or any(s in name for s in only)
+
+    def run(name, *a, **kw):
+        if not want(name):
+            return
+        try:
+            rows.append(bench_config(name, *a, **kw))
+        except Exception as e:  # noqa: BLE001 — flaky backend errors
+            print(json.dumps({"config": name, "error": repr(e)[:200]}),
+                  flush=True)
 
     lengths = [64] if args.quick else [16, 32, 64, 128]
     for L in lengths:
-        rows.append(bench_config(
-            f"partial_match_{L}",
-            partial_match_corpus(median_length=L, num_samples=N),
-            "deadbeef", Config(), nq))
+        if want(f"partial_match_{L}"):
+            run(f"partial_match_{L}",
+                partial_match_corpus(median_length=L, num_samples=N),
+                "deadbeef", Config(), nq)
     for L in ([64] if args.quick else [16, 64, 128]):
-        rows.append(bench_config(
-            f"all_match_{L}",
-            all_match_corpus(median_length=L, num_samples=N),
-            "deadbeef", Config(), nq))
+        if want(f"all_match_{L}"):
+            run(f"all_match_{L}",
+                all_match_corpus(median_length=L, num_samples=N),
+                "deadbeef", Config(), nq)
     if not args.quick:
-        rows.append(bench_config(
-            "all_scores_128",
-            all_match_corpus(median_length=128, num_samples=N),
-            "deadbeef", Config(max_typos=None), nq))
+        if want("all_scores_128"):
+            run("all_scores_128",
+                all_match_corpus(median_length=128, num_samples=N),
+                "deadbeef", Config(max_typos=None), nq)
         for L in (16, 128):
-            rows.append(bench_config(
-                f"no_match_{L}",
-                no_match_corpus(median_length=L, num_samples=N),
-                "deadbeef", Config(), nq))
-    pm64 = partial_match_corpus(median_length=64, num_samples=N)
-    for t in ([1] if args.quick else [1, 2, 3]):
-        rows.append(bench_config(
-            f"typo_{t}_64", pm64, "deadbeef", Config(max_typos=t), nq))
+            if want(f"no_match_{L}"):
+                run(f"no_match_{L}",
+                    no_match_corpus(median_length=L, num_samples=N),
+                    "deadbeef", Config(), nq)
+    if any(want(f"typo_{t}_64") for t in (1, 2, 3)):
+        pm64 = partial_match_corpus(median_length=64, num_samples=N)
+        for t in ([1] if args.quick else [1, 2, 3]):
+            run(f"typo_{t}_64", pm64, "deadbeef", Config(max_typos=t), nq)
     for script, needle in (("arabic", "إن"), ("korean", "니다")):
         if args.quick and script == "korean":
             continue
-        rows.append(bench_config(
-            f"unicode_{script}",
-            unicode_corpus(script, num_samples=min(N, 286_000),
-                           needle=needle, needle_every=20),
-            needle, Config(), nq))
-    if not args.skip_chromium:
+        if want(f"unicode_{script}"):
+            run(f"unicode_{script}",
+                unicode_corpus(script, num_samples=min(N, 286_000),
+                               needle=needle, needle_every=20),
+                needle, Config(), nq)
+    if not args.skip_chromium and want("chromium_like"):
         rows.append(bench_config(
             "chromium_like", chromium_like_corpus(), "linux", Config(), nq))
-    bench_micro(rows)
+    if want("copy_path") or want("device_sort"):
+        bench_micro(rows)
+
+    # accumulate rows across chunked invocations, then regenerate the table
+    seen = {}
+    try:
+        with open("benchmarks/results.jsonl") as f:
+            for line in f:
+                r = json.loads(line)
+                seen[r["config"]] = r
+    except FileNotFoundError:
+        pass
+    for r in rows:
+        seen[r["config"]] = r
+    with open("benchmarks/results.jsonl", "w") as f:
+        for r in seen.values():
+            f.write(json.dumps(r) + "\n")
 
     with open("benchmarks/RESULTS.md", "w") as f:
         f.write("# Benchmark results\n\n")
         f.write("| config | haystacks | matches | latency ms | "
                 "serving ms/q | hay/s | ref hay/s | vs ref |\n")
         f.write("|---|---|---|---|---|---|---|---|\n")
-        for r in rows:
+        for r in seen.values():
             f.write(
                 f"| {r['config']} | {r['haystacks']} | {r['matches']} | "
                 f"{r['latency_ms']} | {r['serving_ms_per_query']} | "

@@ -446,7 +446,7 @@ def _fused_match_batch_fast(
         )
         return finalize(keys, metas, counts)
 
-    def compacted_flow(perms, survivors):
+    def compacted_flow(div, perms, survivors):
         # perms: per bucket (Q, B_b) packed keys; survivors: (Q, n_buckets)
         def body(carry, xs):
             needle_q, perm_bs, surv = xs
@@ -455,7 +455,7 @@ def _fused_match_batch_fast(
                 cp, _nu, idx_arr, _m4, _bits8 = b
                 B, W = cp.shape
                 bbits = max((B - 1).bit_length(), 1)
-                cap = _bucket_cap(B, W)
+                cap = _bucket_cap(B, W, div)
                 pk = perm_bs[bi][:cap]
                 row = pk & ((1 << bbits) - 1)
                 nu_k = (
@@ -510,20 +510,35 @@ def _fused_match_batch_fast(
         perms.append(perm)
         surv_cols.append(jnp.sum(s1, axis=0).astype(jnp.int32))
     survivors = jnp.stack(surv_cols, axis=1)  # (Q, n_buckets)
-    fits = jnp.all(
-        survivors
-        <= jnp.asarray(
-            [_bucket_cap(b[0].shape[0], b[0].shape[1]) for b in buckets],
-            jnp.int32,
-        )[None, :]
-    )
+
+    # Tiered capacity switch: the row gather costs ~21 ns/row whether or
+    # not a row survived, so low-survivor batches (stricter needles,
+    # no-match corpora) take a 4x smaller gather tier; a full miss falls
+    # back to the in-place flow (no compaction at all).
+    def fits(div):
+        return jnp.all(
+            survivors
+            <= jnp.asarray(
+                [_bucket_cap(b[0].shape[0], b[0].shape[1], div)
+                 for b in buckets],
+                jnp.int32,
+            )[None, :]
+        )
+
     return jax.lax.cond(
-        fits, compacted_flow, in_place_flow, tuple(perms), survivors
+        fits(16),
+        functools.partial(compacted_flow, 16),
+        lambda p, s: jax.lax.cond(
+            fits(8),
+            functools.partial(compacted_flow, 8),
+            in_place_flow, p, s,
+        ),
+        tuple(perms), survivors,
     )
 
 
-def _bucket_cap(B: int, W: int) -> int:
-    """Static survivor capacity for the compacted flow: 1/8 of the bucket,
-    rounded up to whole kernel blocks."""
+def _bucket_cap(B: int, W: int, div: int = 8) -> int:
+    """Static survivor capacity for the compacted flow: 1/div of the
+    bucket, rounded up to whole kernel blocks."""
     tbo = block_rows(W)
-    return min(B, -(-(B // 8) // tbo) * tbo)
+    return min(B, -(-(B // div) // tbo) * tbo)
