@@ -221,6 +221,33 @@ class Corpus:
     def __len__(self) -> int:
         return len(self.haystacks)
 
+    def xl_presence(self):
+        """(n_xl, 128) uint8 capped fold-bit occurrence counts for the XL
+        (host-path) rows, computed lazily. Lets the matcher presence-reject
+        XL rows before paying the per-row host pipeline — the host-side
+        twin of the device stage-1 (ops/presence.py)."""
+        if not hasattr(self, "_xl_presence"):
+            counts = np.zeros((len(self.xl_indices), 128), np.uint8)
+            for r, i in enumerate(self.xl_indices):
+                if self.unicode:
+                    units = np.frombuffer(
+                        self.haystacks[int(i)].encode("utf-32-le"),
+                        dtype=np.uint32,
+                    ).astype(np.int64)
+                else:
+                    units = np.frombuffer(
+                        self.haystacks[int(i)].encode("utf-8"),
+                        dtype=np.uint8,
+                    ).astype(np.int64)
+                fold = np.where(
+                    (units >= 0x41) & (units <= 0x5A), units + 0x20, units
+                ) & 127
+                cnt = np.bincount(fold, minlength=128)
+                # capped at the device planes' depth (ops/presence.PLANES)
+                counts[r] = np.minimum(cnt, 3)
+            self._xl_presence = counts
+        return self._xl_presence
+
     def device_xl_mask(self):
         """Device-resident (n,) bool mask of XL (host-path) rows, cached."""
         if not hasattr(self, "_xl_mask"):

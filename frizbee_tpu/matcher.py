@@ -327,10 +327,12 @@ class Matcher:
                 index[keep], score[keep], exact[keep], end_col[keep]
             )
             resort = True
-        # XL rows (longer than the largest bucket): full host pipeline
+        # XL rows (longer than the largest bucket): full host pipeline,
+        # gated by a presence reject so corpora with many oversized rows
+        # only pay the per-row pipeline for plausible candidates
         if len(corpus.xl_indices):
             extra = []
-            for i in corpus.xl_indices:
+            for i in corpus.xl_indices[self._xl_candidates(corpus)]:
                 m = self.match_one(corpus.haystacks[int(i)], int(i))
                 if m is not None:
                     extra.append((m.index, m.score, m.exact, m.end_col))
@@ -360,6 +362,36 @@ class Matcher:
                 index[::-1], score[::-1], exact[::-1], end_col[::-1]
             )
         return index, score, exact, end_col
+
+    def _xl_candidates(self, corpus) -> np.ndarray:
+        """Boolean mask over corpus.xl_indices: rows that could possibly
+        satisfy every non-negated pattern's fold-bit multiset within its
+        typo budget (the host twin of the device stage-1; sound superset,
+        see ops/presence.py). Negated patterns never pre-reject."""
+        n_xl = len(corpus.xl_indices)
+        keep = np.ones(n_xl, bool)
+        counts = None
+        for cp in self._compiled:
+            if cp.negated or not cp.engine.units.orig:
+                continue
+            units = cp.engine.units
+            t = cp.config.max_typos
+            if t is None:
+                continue  # unconditional scoring: every row is a candidate
+            if counts is None:
+                counts = corpus.xl_presence()
+            need = np.zeros(128, np.int64)
+            for o, f in zip(units.orig, units.flip):
+                fo = (o + 0x20 if 0x41 <= o <= 0x5A else o) & 127
+                ff = (f + 0x20 if 0x41 <= f <= 0x5A else f) & 127
+                if fo == ff:
+                    need[fo] += 1
+            need = np.minimum(need, 3)
+            hits = np.minimum(counts.astype(np.int64), need[None, :]).sum(
+                axis=1
+            )
+            keep &= hits >= int(need.sum()) - int(t)
+        return keep
 
     def match_arrays(
         self, haystacks: Union[Sequence[str], Corpus]

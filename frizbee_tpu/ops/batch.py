@@ -487,53 +487,72 @@ def _fused_match_batch_fast(
     if not use_stage1:
         return in_place_flow(None, None)
 
-    # P1: MXU stage-1 + one batched packed-key sort per bucket
+    # P1a: MXU stage-1 hits + survivor counts (always runs; cheap)
     need, tot = needle_need_matrix(needles_q)
     thresh = tot - T  # (Q,) distinct bits that must be present
-    perms = []
+    s1_cols = []
     surv_cols = []
     for b in buckets:
-        cp, nu, _idx, _mask4, bits8 = b
-        B, W = cp.shape
-        bbits = max((B - 1).bit_length(), 1)
+        _cp, _nu, _idx, _mask4, bits8 = b
         hits = jax.lax.dot_general(
             bits8, need, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # (B, Q)
         s1 = hits >= thresh[None, :]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
-        keyb = (nu[:, 0] << bbits) | iota  # query-independent base
-        key = jnp.where(
-            s1, keyb[:, None], keyb[:, None] | (1 << (bbits + W.bit_length()))
-        )
-        perm = jax.lax.sort(key.T, dimension=1)  # (Q, B) packed
-        perms.append(perm)
+        s1_cols.append(s1)
         surv_cols.append(jnp.sum(s1, axis=0).astype(jnp.int32))
     survivors = jnp.stack(surv_cols, axis=1)  # (Q, n_buckets)
 
-    # Tiered capacity switch: the row gather costs ~21 ns/row whether or
-    # not a row survived, so low-survivor batches (stricter needles,
-    # no-match corpora) take a 4x smaller gather tier; a full miss falls
-    # back to the in-place flow (no compaction at all).
-    def fits(div):
-        return jnp.all(
-            survivors
-            <= jnp.asarray(
-                [_bucket_cap(b[0].shape[0], b[0].shape[1], div)
-                 for b in buckets],
-                jnp.int32,
-            )[None, :]
+    def empty_flow(_s):
+        # No query in the batch has a single stage-1 survivor: the batch
+        # analog of the reference prefilter's early exit on no-match
+        # corpora — skip the survivor sorts, gathers, and kernels outright
+        zeros = jnp.zeros((Q, fetch_rows, 2), jnp.int32)
+        header = jnp.zeros((Q, 1, 2), jnp.int32)
+        return jnp.concatenate([header, zeros], axis=1)
+
+    def full_path(survivors):
+        # P1b: one batched packed-key sort per bucket -> survivor perms
+        perms = []
+        for bi, b in enumerate(buckets):
+            cp, nu, _idx, _mask4, _bits8 = b
+            B, W = cp.shape
+            bbits = max((B - 1).bit_length(), 1)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
+            keyb = (nu[:, 0] << bbits) | iota  # query-independent base
+            key = jnp.where(
+                s1_cols[bi], keyb[:, None],
+                keyb[:, None] | (1 << (bbits + W.bit_length())),
+            )
+            perms.append(jax.lax.sort(key.T, dimension=1))  # (Q, B)
+
+        # Tiered capacity switch: the row gather costs ~21 ns/row whether
+        # or not a row survived, so low-survivor batches (stricter
+        # needles, sparse-match corpora) take a 4x smaller gather tier; a
+        # full miss falls back to the in-place flow (no compaction)
+        def fits(div):
+            return jnp.all(
+                survivors
+                <= jnp.asarray(
+                    [_bucket_cap(b[0].shape[0], b[0].shape[1], div)
+                     for b in buckets],
+                    jnp.int32,
+                )[None, :]
+            )
+
+        return jax.lax.cond(
+            fits(16),
+            functools.partial(compacted_flow, 16),
+            lambda p, s: jax.lax.cond(
+                fits(8),
+                functools.partial(compacted_flow, 8),
+                in_place_flow, p, s,
+            ),
+            tuple(perms), survivors,
         )
 
     return jax.lax.cond(
-        fits(16),
-        functools.partial(compacted_flow, 16),
-        lambda p, s: jax.lax.cond(
-            fits(8),
-            functools.partial(compacted_flow, 8),
-            in_place_flow, p, s,
-        ),
-        tuple(perms), survivors,
+        jnp.sum(survivors) == 0, empty_flow, full_path, survivors
     )
 
 

@@ -111,3 +111,15 @@ def test_fast_multi_bucket_corpus():
     corpus = pack_corpus(hay, unicode=False)
     assert len(corpus.buckets) >= 2
     _assert_query_parity(corpus, ["deadbeef", "beef"], Config())
+
+
+def test_fast_empty_batch_short_circuit():
+    """A batch where no query has any stage-1 survivor must produce empty
+    results through the short-circuit flow, identically to the oracle."""
+    from frizbee_tpu.datagen import no_match_corpus
+
+    hay = no_match_corpus(median_length=24, num_samples=4500, seed=31)
+    corpus = pack_corpus(hay, unicode=False)
+    _assert_query_parity(corpus, ["deadbeef", "beefdead"], Config())
+    res = match_topk_batch(["deadbeef"], corpus, Config(), k=16)
+    assert res[0][0] == 0 and len(res[0][1]) == 0

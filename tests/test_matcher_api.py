@@ -301,3 +301,27 @@ def test_parallel_equals_sequential(use_device):
         for shards in (1, 2, 3, 8):
             par = m.match_list_parallel(haystacks, shards)
             assert par == seq, (strategy, shards)
+
+
+def test_xl_host_path_presence_gate():
+    """Corpora with many oversized (>largest-bucket) rows: the XL host
+    pipeline is presence-gated (matcher._xl_candidates) but results must
+    still equal the oracle exactly, including XL rows that do match."""
+    import numpy as np
+    from frizbee_tpu.corpus import pack_corpus
+
+    rng = np.random.default_rng(5)
+    pool = list("ghijklmnopqrstuvw")  # no needle chars
+    xl = [
+        "".join(rng.choice(pool, size=1500)) for _ in range(40)
+    ]
+    xl[3] = xl[3][:700] + "deadbeef" + xl[3][700:]
+    xl[17] = "d e a d b e e f " * 120  # matching, window > DP cap
+    hay = xl + ["deadbeef", "nope", "dxexaxdxbxexexf"]
+    corpus = pack_corpus(hay, unicode=False)
+    assert len(corpus.xl_indices) >= 40
+    for typos in (0, 1, None):
+        cfg = Config(max_typos=typos)
+        dev = Matcher("deadbeef", cfg).match_list(corpus)
+        host = Matcher("deadbeef", cfg, use_device=False).match_list(hay)
+        assert dev == host
