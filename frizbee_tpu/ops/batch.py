@@ -540,16 +540,19 @@ def _fused_match_batch_fast(
                 )[None, :]
             )
 
-        return jax.lax.cond(
-            fits(16),
-            functools.partial(compacted_flow, 16),
-            lambda p, s: jax.lax.cond(
-                fits(8),
-                functools.partial(compacted_flow, 8),
-                in_place_flow, p, s,
-            ),
-            tuple(perms), survivors,
-        )
+        def tier(div, nxt):
+            return lambda p, s: jax.lax.cond(
+                fits(div), functools.partial(compacted_flow, div), nxt,
+                p, s,
+            )
+
+        # 1/16 -> 1/8 -> 1/4 -> in-place: high-survivor workloads (large
+        # typo budgets, short common needles) still compact at 1/4 — a
+        # full-corpus kernel pass costs ~4x the B/4 tier
+        chain = in_place_flow
+        for div in (4, 8, 16):
+            chain = tier(div, chain)
+        return chain(tuple(perms), survivors)
 
     return jax.lax.cond(
         jnp.sum(survivors) == 0, empty_flow, full_path, survivors
