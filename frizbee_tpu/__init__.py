@@ -27,20 +27,11 @@ __version__ = "0.1.0"
 def _host_fingerprint() -> str:
     """Short CPU-feature fingerprint: persistent-cache artifacts for the
     CPU backend are micro-arch-specific (loading one on a different host
-    can SIGILL), so the cache directory is keyed per host class."""
-    import hashlib
-    import platform
+    can SIGILL), so the cache directory is keyed per host class. Shared
+    with the native .so cache (one definition of "host class")."""
+    from .native import _host_tag
 
-    parts = [platform.machine(), platform.processor()]
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith(("flags", "Features")):
-                    parts.append(line.strip())
-                    break
-    except OSError:
-        pass
-    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:10]
+    return _host_tag()
 
 
 def _enable_compilation_cache():

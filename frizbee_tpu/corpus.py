@@ -23,8 +23,8 @@ import numpy as np
 # where windows larger than the DP cap fall back to the greedy matcher
 # (reference: src/smith_waterman/algo/mod.rs:18).
 DEFAULT_BUCKETS: Tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024)
-# Default corpora pack to lane-aligned widths so the fused Pallas kernels
-# (ops/ascii_kernel.py) see 128-multiple rows.
+# Default corpora pack to lane-aligned widths so the fused Pallas kernel
+# (ops/kernels.py) sees 128-multiple rows.
 LANE_BUCKETS: Tuple[int, ...] = (128, 256, 512, 1024)
 ASCII_BUCKETS = LANE_BUCKETS  # back-compat alias
 

@@ -574,8 +574,24 @@ class Matcher:
     # engine serves both, so the gap is one chunk's worth of padding)
     iter_chunk: int = 8192
 
+    def _iter_chunks(self, haystacks: Iterable[str]):
+        """(base_index, chunk) blocks with geometrically growing sizes, so
+        the first match from a slow/unbounded stream appears after tens of
+        items (per-item-lazy-like), while steady state amortizes the batch
+        engine over full-size chunks."""
+        it = iter(haystacks)
+        base = 0
+        size = 32
+        while True:
+            chunk = list(islice(it, size))
+            if not chunk:
+                return
+            yield base, chunk
+            base += len(chunk)
+            size = min(size * 4, self.iter_chunk)
+
     def match_iter(self, haystacks: Iterable[str]) -> Iterator[Match]:
-        """Lazy matching in input order. Streams fixed-size chunks through
+        """Lazy matching in input order. Streams growing chunks through
         the batched engine (reference: src/matcher/iter.rs semantics —
         unsorted, yields as it goes — at batch-engine throughput)."""
         if not self._use_device or not self._compiled:
@@ -584,12 +600,7 @@ class Matcher:
                 if m is not None:
                     yield m
             return
-        it = iter(haystacks)
-        base = 0
-        while True:
-            chunk = list(islice(it, self.iter_chunk))
-            if not chunk:
-                return
+        for base, chunk in self._iter_chunks(haystacks):
             index, score, exact, end_col = self.match_arrays(chunk)
             order = np.argsort(index, kind="stable")
             for j in order:
@@ -599,30 +610,31 @@ class Matcher:
                     exact=bool(exact[j]),
                     end_col=int(end_col[j]),
                 )
-            base += len(chunk)
 
     def match_iter_indices(self, haystacks: Iterable[str]) -> Iterator[MatchIndices]:
         """Lazy matching with matched-byte indices, in input order. Match
-        selection rides the chunked batch engine; the traceback walk runs
-        host-side only on matches (reference: src/matcher/iter.rs)."""
+        selection rides the chunked batch engine and the traceback reuses
+        the vectorized batched walk (reference: src/matcher/iter.rs)."""
         if not self._use_device or not self._compiled:
             for i, h in enumerate(haystacks):
                 m = self.match_one_indices(h, i)
                 if m is not None:
                     yield m
             return
-        it = iter(haystacks)
-        base = 0
-        while True:
-            chunk = list(islice(it, self.iter_chunk))
-            if not chunk:
-                return
-            index = np.sort(self.match_arrays(chunk)[0])
+        for base, chunk in self._iter_chunks(haystacks):
+            index = sorted(int(i) for i in self.match_arrays(chunk)[0])
+            batched = self._batched_indices(chunk, index)
             for i in index:
-                m = self.match_one_indices(chunk[int(i)], int(i) + base)
+                m = batched.get(int(i)) if batched else None
+                if m is not None and m.index != int(i) + base:
+                    m = MatchIndices(
+                        score=m.score, index=int(i) + base, exact=m.exact,
+                        indices=m.indices,
+                    )
+                if m is None:
+                    m = self.match_one_indices(chunk[int(i)], int(i) + base)
                 if m is not None:
                     yield m
-            base += len(chunk)
 
     def match_list_parallel(
         self, haystacks: Sequence[str], shards: int

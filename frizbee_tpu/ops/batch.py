@@ -370,15 +370,23 @@ def _fused_match_batch_fast(
     """
     typos, no_prefilter, _neg, scoring, _mode, _nbl = statics
     orig_q, flip_q, _sc_q = pattern
-    Q = orig_q.shape[0]
-    T = min(int(typos), n)
-    use_stage1 = not no_prefilter and n > T
+    Q, nlen = orig_q.shape
+    # clamp the typo budget to the needle length (a budget >= needle
+    # length auto-passes either way; an unclamped budget would unroll
+    # that many DP states in the kernel)
+    T = min(int(typos), nlen)
+    use_stage1 = not no_prefilter and nlen > T
     if bucket_statics is None:
         bucket_statics = ((-1, 0),) * len(buckets)
 
     idx_bits = max((n - 1).bit_length(), 1)
     idx_mask = (1 << idx_bits) - 1
     needles_q = jnp.concatenate([orig_q, flip_q], axis=1).astype(jnp.int32)
+
+    if not buckets:
+        # bucket-less corpus (empty, or every row XL): no device rows;
+        # the host path fills XL matches in downstream
+        return jnp.zeros((Q, 1 + fetch_rows, 2), jnp.int32)
 
     def run_kernel(cp_k, nu_k, needle_q, count, width):
         interpret = jax.default_backend() != "tpu"
@@ -388,7 +396,7 @@ def _fused_match_batch_fast(
             no_prefilter=no_prefilter,
             int16_lanes=(
                 (not unicode)
-                and score_fits_int16(scoring, n, width)
+                and score_fits_int16(scoring, nlen, width)
                 and (interpret or INT16_MOSAIC_OK)
             ),
             interpret=interpret,

@@ -127,14 +127,17 @@ def needle_need_matrix(needles_q: jnp.ndarray) -> tuple:
 
 
 def stage1_presence(
-    mask4: jnp.ndarray,  # (B, 4) int32
+    mask: jnp.ndarray,  # (B, PLANES*4) int32 (only plane 0 is read)
     needle_packed: jnp.ndarray,  # (2n,) int32: orig then flip
     max_typos: int,
 ) -> jnp.ndarray:
     """(B,) bool: rows that may still match (missing units <= typo budget).
     Per-char OR of the orig/flip fold-bits — exact for unicode case pairs
-    whose fold-bits differ."""
+    whose fold-bits differ. Reads only the >=1-occurrence plane (words
+    0..3 of presence_mask's plane-major layout); the single-query path
+    trades the multiplicity planes for the simpler per-char test."""
     n = needle_packed.shape[0] // 2
+    mask4 = mask[:, :MASK_WORDS]  # plane 0: count >= 1
 
     def present(val):
         v = _fold_bit(val)

@@ -23,7 +23,7 @@ Semantics are pinned by the existing differential tests: device
 which runs the per-row scalar walk. Greedy windows (> MAX_HAYSTACK_LEN
 bytes) and XL rows keep the per-row host path.
 
-int64 accumulators stand in for the reference's u16 saturating arithmetic:
+int32 accumulators stand in for the reference's u16 saturating arithmetic:
 configs that pass the overflow guard never saturate above, and chained
 saturating subtractions below equal a single clamp at zero (the same
 argument the jnp pipeline documents in ops/fuzzy.py).
@@ -36,8 +36,6 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from .config import MAX_HAYSTACK_LEN, Scoring
-
-INF = np.int32(1 << 30)
 
 
 def _unit_occ(cp: np.ndarray, valid: np.ndarray, orig: int, flip: int
@@ -133,7 +131,7 @@ def sw_fill(
     wstart, wend,  # trimmed window, byte coords, (B,)
     orig, flip, scoring: Scoring,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """(H (B, n+1, W+1) int64, MM (B, n+1, W+1) bool) score/match-mask
+    """(H (B, n+1, W+1) int32, MM (B, n+1, W+1) bool) score/match-mask
     matrices, window-masked. Column 0 is the virtual empty column; lanes
     outside the window hold zeros (equivalent to the oracle's window
     slicing — see the masking argument in ops/kernels._match_tile)."""
@@ -208,7 +206,7 @@ def sw_fill(
 
 
 def walk_indices(
-    H: np.ndarray,  # (B, n+1, W+1) int64
+    H: np.ndarray,  # (B, n+1, W+1) int32
     MM: np.ndarray,
     byte_off: np.ndarray,  # (B, W)
     byte_len: np.ndarray,
