@@ -191,7 +191,8 @@ class Matcher:
 
         use_kernel = (
             all(
-                b.width % 128 == 0 and b.width <= 1024
+                (b.width % 128 == 0 or 128 % b.width == 0)
+                and b.width <= 1024
                 for b in corpus.buckets
             )
             and all(

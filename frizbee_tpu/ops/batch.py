@@ -32,6 +32,7 @@ from .kernels import (
     fuzzy_match_units,
     match_units,
     pack_needle_scalars,
+    pack_rows_for_kernel,
     score_fits_int16,
 )
 from .presence import needle_need_matrix
@@ -388,9 +389,15 @@ def _fused_match_batch_fast(
         # the host path fills XL matches in downstream
         return jnp.zeros((Q, 1 + fetch_rows, 2), jnp.int32)
 
-    def run_kernel(cp_k, nu_k, needle_q, count, width):
+    def run_kernel(cp_r, nu_r, needle_q, count_rows, width):
+        """Kernel over logical rows; narrow (<128-lane) buckets pack
+        G = 128//W rows per vector (kernels.pack_rows_for_kernel) and the
+        (rows, 8) result restores logical order."""
         interpret = jax.default_backend() != "tpu"
-        return match_units(
+        rows = cp_r.shape[0]
+        cp_k, nu_k, seg, g = pack_rows_for_kernel(cp_r, nu_r)
+        count = (count_rows + (g - 1)) // g if g > 1 else count_rows
+        out = match_units(
             cp_k, nu_k, pack_needle_scalars(needle_q, count),
             max_typos=T, scoring=scoring, unicode=unicode,
             no_prefilter=no_prefilter,
@@ -399,8 +406,9 @@ def _fused_match_batch_fast(
                 and score_fits_int16(scoring, nlen, width)
                 and (interpret or INT16_MOSAIC_OK)
             ),
-            interpret=interpret,
+            interpret=interpret, seg=seg,
         )
+        return out.reshape(rows, 8)
 
     def keys_from(out8, idx):
         matched = (out8[:, 0] > 0) & (idx >= 0)
@@ -569,6 +577,8 @@ def _fused_match_batch_fast(
 
 def _bucket_cap(B: int, W: int, div: int = 8) -> int:
     """Static survivor capacity for the compacted flow: 1/div of the
-    bucket, rounded up to whole kernel blocks."""
-    tbo = block_rows(W)
+    bucket, rounded up to whole kernel blocks (in LOGICAL rows; narrow
+    buckets pack G = 128//W rows per vector)."""
+    g = 128 // W if W < 128 else 1
+    tbo = block_rows(max(W, 128)) * g
     return min(B, -(-(B // div) // tbo) * tbo)

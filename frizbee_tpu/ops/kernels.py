@@ -111,18 +111,28 @@ def score_fits_int16(scoring: Tuple[int, ...], n: int, width: int) -> bool:
 
 def _shift_right(x, d, fill, col):
     """Shift lanes right by ``d`` (toward higher index), filling with
-    ``fill``; ``col`` is the lane-index iota of x's shape/dtype.
+    ``fill``; ``col`` is the lane-index iota of x's shape/dtype — pass a
+    segment-local iota (col % seg) for a segmented shift (each segment's
+    first d lanes take ``fill``).
 
-    int32 uses the native lane rotate; narrower dtypes use a static
-    slice+concat (Mosaic's rotate is 32-bit only)."""
+    int32 uses the native lane rotate; narrower dtypes use a circular
+    slice+concat (Mosaic's rotate is 32-bit only). Both are circular +
+    mask so the fill applies at segment boundaries, not just lane 0."""
     if x.dtype == jnp.int32:
         rolled = pltpu.roll(x, d, axis=1)
-        return jnp.where(col < d, jnp.asarray(fill, x.dtype), rolled)
-    head = jnp.full((x.shape[0], d), fill, x.dtype)
-    return jnp.concatenate([head, x[:, : x.shape[1] - d]], axis=1)
+    else:
+        rolled = jnp.concatenate(
+            [x[:, x.shape[1] - d:], x[:, : x.shape[1] - d]], axis=1
+        )
+    return jnp.where(col < d, jnp.asarray(fill, x.dtype), rolled)
 
 
 def _cumsum_lanes(x, col, width):
+    """Exclusive-of-nothing (inclusive) prefix sum over lanes. ``col`` is
+    the SEGMENT-LOCAL lane index and ``width`` the segment size: passing
+    ``col % seg`` and ``seg`` yields a segmented scan (the shift fill
+    masks at each segment boundary), the layout used when G = W/seg short
+    rows share one vector (see _match_tile's ``seg``)."""
     d = 1
     while d < width:
         x = x + _shift_right(x, d, 0, col)
@@ -134,6 +144,31 @@ def _cummax_lanes(x, col, width, neg_big):
     d = 1
     while d < width:
         x = jnp.maximum(x, _shift_right(x, d, neg_big, col))
+        d *= 2
+    return x
+
+
+def _roll_lanes(x, d, width):
+    """Circular lane rotate by ``d`` (toward higher index)."""
+    d = d % width
+    if d == 0:
+        return x
+    if x.dtype == jnp.int32:
+        return pltpu.roll(x, d, axis=1)
+    return jnp.concatenate([x[:, width - d:], x[:, :width - d]], axis=1)
+
+
+def _seg_allreduce(x, colm, seg, width, op):
+    """All-reduce within each ``seg``-lane segment, every lane receiving
+    its segment's total (lane-broadcast). Doubling rotate network: at
+    step d each lane holds the reduce of its trailing segment-circular
+    window of d lanes; the segment-local rotate is two circular rotates
+    selected at the boundary."""
+    d = 1
+    while d < seg:
+        a = _roll_lanes(x, d, width)
+        b = _roll_lanes(x, d - seg, width)
+        x = op(x, jnp.where(colm < d, b, a))
         d *= 2
     return x
 
@@ -161,17 +196,22 @@ def _gather_lane(x, idx, col):
     ).astype(x.dtype)
 
 
-def _unit_context(hay, valid, col, width, unicode, acc):
+def _unit_context(hay, valid, col, width, unicode, acc, allsum=None):
     """(first_byte, prev_last_byte, byte_off, byte_len, n_bytes) derived
     from unit values, in ``acc`` lanes. ASCII: unit == byte, context is
-    trivial. ``hay`` is int32 here (byte values 0..255 or codepoints)."""
+    trivial. ``hay`` is int32 here (byte values 0..255 or codepoints).
+    ``col``/``width`` are segment-local (see _match_tile seg); ``allsum``
+    replaces the cross-lane sum with a segmented one when packing."""
     if not unicode:
         first = hay.astype(acc)
         prev = _shift_right(first, 1, -1, col)
         prev = jnp.where(valid, prev, jnp.asarray(-1, acc))
         boff = jnp.where(valid, col, 0)
         blen = valid.astype(acc)
-        n_bytes = jnp.sum(blen.astype(jnp.int32), axis=1, keepdims=True)
+        if allsum is None:
+            n_bytes = jnp.sum(blen.astype(jnp.int32), axis=1, keepdims=True)
+        else:
+            n_bytes = allsum(blen.astype(jnp.int32))
         return first, prev, boff, blen, n_bytes.astype(acc)
     blen = (
         1
@@ -195,35 +235,94 @@ def _unit_context(hay, valid, col, width, unicode, acc):
     prev = jnp.where(valid, prev, jnp.asarray(-1, acc))
     boff = _shift_right(_cumsum_lanes(blen, col, width), 1, 0, col)
     boff = jnp.where(valid, boff, 0)
-    n_bytes = jnp.sum(blen.astype(jnp.int32), axis=1, keepdims=True)
+    if allsum is None:
+        n_bytes = jnp.sum(blen.astype(jnp.int32), axis=1, keepdims=True)
+    else:
+        n_bytes = allsum(blen.astype(jnp.int32))
     return first, prev, boff, blen, n_bytes.astype(acc)
 
 
 def _match_tile(scalars_ref, hay_in, nu, n, T, width, scoring, unicode,
-                no_prefilter, acc):
+                no_prefilter, acc, seg=None):
     """Fused prefilter + windowed SW for one (TBI, W) sub-tile.
 
     ``scalars_ref`` layout: [count, n, orig x MAXN, flip x MAXN] (SMEM).
     Returns int32 (TBI, 1) columns:
     (matched, score, exact, end_col, greedy). Semantics contract:
-    ops/fuzzy.py fuzzy_pipeline (the jnp differential twin)."""
+    ops/fuzzy.py fuzzy_pipeline (the jnp differential twin).
+
+    ``seg``: sub-lane packing. When set (a power of two < width), each
+    vector holds G = width//seg independent rows of <= seg units — the
+    corpus packs a (B, seg) bucket and reshapes pairs/quads into full
+    128-lane vectors, so short rows stop wasting lanes. All lane scans
+    become segmented (shift fills mask at the boundary), cross-lane
+    reductions become rotate-network all-reduces (lane-broadcast per
+    segment), ``nu`` arrives as (TBI, G), and the returned columns are
+    (TBI, G) per-segment values. seg=None is the classic single-row
+    layout and traces byte-identically to the pre-seg kernel."""
     (match_score, mismatch, gap_open, gap_ext, prefix_b, cap_b, case_b,
      exact_b, delim_b) = scoring
     gop_extra = max(gap_open - gap_ext, 0)
     tb = hay_in.shape[0]
-    BIG = width + 1
+    G = 1 if seg is None else width // seg
+    S = width if seg is None else seg
+    BIG = S + 1
     NEG = -(20000 if acc == jnp.int16 else (1 << 30))
 
     hay = hay_in.astype(jnp.int32)
     if not unicode:
         hay = hay & 0xFF
     col32 = jax.lax.broadcasted_iota(jnp.int32, (tb, width), 1)
-    col = col32.astype(acc)
+    if G == 1:
+        col32m = col32
+    else:
+        col32m = col32 & (S - 1)
+        seg_id = jax.lax.shift_right_logical(col32, S.bit_length() - 1)
+    col = col32m.astype(acc)
+
+    if G == 1:
+        def allmin(x):
+            return _rmin(x)
+
+        def allmax(x):
+            return _rmax(x)
+
+        def gather(x, idx):
+            return _gather_lane(x, idx, col)
+
+        nu_l = nu  # (TBI, 1) int32
+    else:
+        def _seg_col_for(x):
+            # boundary-mask compares must share the operand's lane width
+            # (Mosaic can't relayout i1 masks between 16/32-bit layouts)
+            return col32m if x.dtype == jnp.int32 else col
+
+        def allmin(x):
+            return _seg_allreduce(x, _seg_col_for(x), S, width, jnp.minimum)
+
+        def allmax(x):
+            return _seg_allreduce(x, _seg_col_for(x), S, width, jnp.maximum)
+
+        def gather(x, idx):
+            # one lane per segment satisfies col == idx; x >= 0 always
+            # (byte offsets / lengths), so max-reduce extracts it
+            return allmax(jnp.where(col == idx, x, 0))
+
+        # lane-broadcast per-segment unit counts from the (TBI, G) column
+        nu_l = jnp.zeros((tb, width), jnp.int32)
+        for g in range(G):
+            nu_l = jnp.where(seg_id == g, nu[:, g:g + 1], nu_l)
     # every mask in the acc domain comes from acc-typed compares: Mosaic
     # can't relayout i1 vectors between 16- and 32-bit mask layouts
-    valid = col < jnp.minimum(nu, BIG).astype(acc)  # nu (TBI,1) int32
+    valid = col < jnp.minimum(nu_l, BIG).astype(acc)
+    if G == 1:
+        allsum32 = None
+    else:
+        def allsum32(x):
+            return _seg_allreduce(x, col32m, S, width, jnp.add)
+
     fb, pb, boff, blen, n_bytes = _unit_context(
-        hay, valid, col, width, unicode, acc
+        hay, valid, col, S, unicode, acc, allsum=allsum32
     )
     if not unicode and acc == jnp.int16:
         hay_c = hay.astype(acc)  # byte compares in int16 lanes
@@ -242,28 +341,28 @@ def _match_tile(scalars_ref, hay_in, nu, n, T, width, scoring, unicode,
             (hay_c == needle_val(k, False)) | (hay_c == needle_val(k, True))
         )
 
-    zero1 = jnp.zeros((tb, 1), acc)
+    zero1 = jnp.zeros((tb, 1) if G == 1 else (tb, width), acc)
 
     # ---- positional prefilter (minimal-position DP over the typo budget;
     # semantics contract: oracle/prefilter.py) -----------------------------
     if no_prefilter:
-        matched = jnp.ones((tb, 1), jnp.bool_)
+        matched = jnp.ones((tb, 1) if G == 1 else (tb, width), jnp.bool_)
         wstart_raw = zero1
         wend = n_bytes
     else:
         def pf_body(k, carry):
             f, fos, start0, tail = carry
             occ = occ_of(k)
-            fo = _rmin(jnp.where(occ, col, jnp.asarray(BIG, acc)))
+            fo = allmin(jnp.where(occ, col, jnp.asarray(BIG, acc)))
             fos = jnp.where(k <= T, jnp.minimum(fos, fo), fos)
             nf = []
             for t in range(T + 1):
-                nxt_occ = _rmin(
+                nxt_occ = allmin(
                     jnp.where(occ & (col >= f[t]), col,
                               jnp.asarray(BIG, acc))
                 )
                 nxt = jnp.where(
-                    f[t] <= width,
+                    f[t] <= S,
                     jnp.minimum(nxt_occ + 1, jnp.asarray(BIG, acc)),
                     jnp.asarray(BIG, acc),
                 )
@@ -271,7 +370,7 @@ def _match_tile(scalars_ref, hay_in, nu, n, T, width, scoring, unicode,
                     nxt = jnp.minimum(nxt, f[t - 1])
                 nf.append(nxt)
             start0 = jnp.where(
-                k == 0, jnp.minimum(nf[0] - 1, jnp.asarray(width, acc)),
+                k == 0, jnp.minimum(nf[0] - 1, jnp.asarray(S, acc)),
                 start0,
             )
             # masks carry as integer lanes: Mosaic's loop lowering can't
@@ -281,29 +380,27 @@ def _match_tile(scalars_ref, hay_in, nu, n, T, width, scoring, unicode,
             return tuple(nf), fos, start0, tail
 
         f0 = tuple(zero1 for _ in range(T + 1))
-        fos0 = jnp.full((tb, 1), BIG, acc)
+        fos0 = jnp.full_like(zero1, BIG)
         tail0 = jnp.zeros((tb, width), acc)
         f, fos, start0, tail_i = jax.lax.fori_loop(
             0, n, pf_body, (f0, fos0, zero1, tail0)
         )
         tail = tail_i > 0
-        matched = f[T] <= width
+        matched = f[T] <= S
         if T == 0:
             last_pos = f[0] - 1
-            e = _rmax(
+            e = allmax(
                 jnp.where(tail & (col >= last_pos), col,
                           jnp.asarray(-1, acc))
             )
-            start_u = jnp.clip(start0, 0, width - 1)
-            wstart_raw = _gather_lane(boff, start_u, col)
+            start_u = jnp.clip(start0, 0, S - 1)
+            wstart_raw = gather(boff, start_u)
         else:
-            e = _rmax(jnp.where(tail, col, jnp.asarray(-1, acc)))
-            start_u = jnp.clip(fos, 0, width - 1)
-            wstart_raw = jnp.where(
-                fos <= width, _gather_lane(boff, start_u, col), 0
-            )
-        e_c = jnp.clip(e, 0, width - 1)
-        wend = _gather_lane(boff, e_c, col) + _gather_lane(blen, e_c, col)
+            e = allmax(jnp.where(tail, col, jnp.asarray(-1, acc)))
+            start_u = jnp.clip(fos, 0, S - 1)
+            wstart_raw = jnp.where(fos <= S, gather(boff, start_u), 0)
+        e_c = jnp.clip(e, 0, S - 1)
+        wend = gather(boff, e_c) + gather(blen, e_c)
         wend = jnp.where(e >= 0, wend, n_bytes)
         wstart_raw = jnp.where(matched, wstart_raw, 0)
         wend = jnp.where(matched, wend, n_bytes)
@@ -320,7 +417,7 @@ def _match_tile(scalars_ref, hay_in, nu, n, T, width, scoring, unicode,
     wstart = jnp.maximum(wstart_raw - 1, 0)
     include_exact = (wstart == 0) & (wend == n_bytes)
     active = valid & (boff >= wstart) & (boff + blen <= wend)
-    first_unit = _rmin(jnp.where(active, col, jnp.asarray(BIG, acc)))
+    first_unit = allmin(jnp.where(active, col, jnp.asarray(BIG, acc)))
     is_first = active & (col == first_unit)
     include_prefix = wstart == 0
 
@@ -361,12 +458,21 @@ def _match_tile(scalars_ref, hay_in, nu, n, T, width, scoring, unicode,
         )
         c = jnp.maximum(diag, up)
         p = gap_ext + jnp.where(match, jnp.asarray(gop_extra, acc), 0)
-        q = _shift_right(_cumsum_lanes(p, col, width), 1, 0, col)
-        prev_row = _cummax_lanes(c + q, col, width, NEG) - q
+        q = _shift_right(_cumsum_lanes(p, col, S), 1, 0, col)
+        prev_row = _cummax_lanes(c + q, col, S, NEG) - q
         # exact-equality accumulation: unit k of the haystack vs the needle
         # (case-sensitive; reference: src/matcher/algo.rs:245-248)
-        hk = jnp.sum(jnp.where(col32 == k, hay, 0), axis=1, keepdims=True)
-        neq = neq | (hk != o32).astype(jnp.int32)
+        if G == 1:
+            hk = jnp.sum(jnp.where(col32 == k, hay, 0), axis=1,
+                         keepdims=True)
+            neq = neq | (hk != o32).astype(jnp.int32)
+        else:
+            # per-lane: each lane records whether ITS unit equals the
+            # needle unit at its position (one visit per lane over the
+            # k-loop); the cross-lane check happens once after the loop
+            neq = jnp.where(
+                col32m == k, (hay != o32).astype(jnp.int32), neq
+            )
         return prev_row, match.astype(acc), neq
 
     prev_row, _mm, neq_i = jax.lax.fori_loop(
@@ -375,21 +481,25 @@ def _match_tile(scalars_ref, hay_in, nu, n, T, width, scoring, unicode,
         (
             jnp.zeros((tb, width), acc),
             jnp.zeros((tb, width), acc),
-            jnp.zeros((tb, 1), jnp.int32),
+            jnp.zeros((tb, 1) if G == 1 else (tb, width), jnp.int32),
         ),
     )
-    neq = neq_i > 0
+    if G == 1:
+        neq = neq_i > 0
+    else:
+        # a lane holding a needle position (col < n) that never matched
+        neq = allmax(jnp.where(col32m < n, neq_i, 0)) > 0
     # Lanes past the window: mismatch-decayed values can exceed the true
     # in-window max (the jnp twin applies the same mask)
     prev_row = jnp.where(active, prev_row, 0)
-    score = jnp.maximum(_rmax(prev_row), 0)
-    end_unit = _rmin(
+    score = jnp.maximum(allmax(prev_row), 0)
+    end_unit = allmin(
         jnp.where(prev_row == score, col, jnp.asarray(BIG, acc))
     )
-    end_b = _gather_lane(boff, jnp.minimum(end_unit, width - 1), col)
+    end_b = gather(boff, jnp.minimum(end_unit, S - 1))
     end_col = jnp.where(score > 0, end_b, wstart)
 
-    exact = include_exact & (nu == n) & ~neq
+    exact = include_exact & (nu_l == n) & ~neq
     score32 = score.astype(jnp.int32)
     score32 = jnp.where(
         exact, jnp.minimum(score32 + exact_b, 0xFFFF), score32
@@ -398,12 +508,20 @@ def _match_tile(scalars_ref, hay_in, nu, n, T, width, scoring, unicode,
         (wend.astype(jnp.int32) - wstart.astype(jnp.int32))
         > MAX_HAYSTACK_LEN
     )
-    return (
+    cols = (
         matched.astype(jnp.int32),
         score32,
         exact.astype(jnp.int32),
         end_col.astype(jnp.int32),
         greedy.astype(jnp.int32),
+    )
+    if G == 1:
+        return cols
+    # every result is lane-broadcast within its segment, so segment g's
+    # value is a static single-lane slice at lane g*S
+    return tuple(
+        jnp.concatenate([c[:, g * S: g * S + 1] for g in range(G)], axis=1)
+        for c in cols
     )
 
 
@@ -411,12 +529,12 @@ def _match_tile(scalars_ref, hay_in, nu, n, T, width, scoring, unicode,
     jax.jit,
     static_argnames=(
         "max_typos", "scoring", "unicode", "no_prefilter", "int16_lanes",
-        "interpret",
+        "interpret", "seg",
     ),
 )
 def match_units(
     cp: jnp.ndarray,  # (B, W) int8 bytes (ascii) or int32 codepoints
-    n_units: jnp.ndarray,  # (B, 1) int32
+    n_units: jnp.ndarray,  # (B, G) int32 (G = 1, or W//seg when packed)
     scalars: jnp.ndarray,  # (2 + 2*MAXN,) int32: count, n, orig pad, flip pad
     *,
     max_typos: int = 0,
@@ -425,12 +543,20 @@ def match_units(
     no_prefilter: bool = False,
     int16_lanes: bool = False,
     interpret: bool = False,
+    seg: int = 0,
 ):
     """Fused prefilter + SW over the first ``scalars[0]`` rows. Returns
     (B, 8) int32: matched, score, exact, end_col, greedy, 0, 0, 0 (rows
-    at/after the count are zero)."""
+    at/after the count are zero).
+
+    ``seg`` > 0 selects the sub-lane packed layout: each (B, W) vector
+    row holds G = W//seg logical rows of <= seg units (see
+    pack_rows_for_kernel); the count is in VECTOR rows and the result is
+    (B, 8*G) — segment g's columns at [8g, 8g+8) — so
+    ``out.reshape(B*G, 8)`` restores logical-row order."""
     B, W = cp.shape
     T = int(max_typos)
+    G = 1 if not seg else W // seg
     TBI = _tile_rows(W)
     # small inputs don't pad up to a full fat block: one grid step with
     # only as many sub-tiles as the rows need
@@ -457,15 +583,25 @@ def match_units(
                     cp_ref[pl.ds(off, TBI), :],
                     nu_ref[pl.ds(off, TBI), :],
                     n, T, W, scoring, unicode, no_prefilter, acc,
+                    seg=seg if G > 1 else None,
                 )
-                out_ref[pl.ds(off, TBI), :] = jnp.concatenate(
-                    list(res) + [jnp.zeros((TBI, 3), jnp.int32)], axis=1
-                )
+                if G == 1:
+                    block = jnp.concatenate(
+                        list(res) + [jnp.zeros((TBI, 3), jnp.int32)],
+                        axis=1,
+                    )
+                else:
+                    parts = []
+                    for g in range(G):
+                        parts.extend(c[:, g: g + 1] for c in res)
+                        parts.append(jnp.zeros((TBI, 3), jnp.int32))
+                    block = jnp.concatenate(parts, axis=1)
+                out_ref[pl.ds(off, TBI), :] = block
 
             @pl.when(base + off >= count)
             def _():
                 out_ref[pl.ds(off, TBI), :] = jnp.zeros(
-                    (TBI, 8), jnp.int32
+                    (TBI, 8 * G), jnp.int32
                 )
 
             return 0
@@ -478,19 +614,40 @@ def match_units(
         in_specs=[
             pl.BlockSpec((TBO, W), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TBO, 1), lambda i, *_: (i, 0),
+            pl.BlockSpec((TBO, G), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TBO, 8), lambda i, *_: (i, 0),
+        out_specs=pl.BlockSpec((TBO, 8 * G), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((Bp, 8), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Bp, 8 * G), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(scalars, cp, n_units)
     return out[:B]
+
+
+KERNEL_LANES = 128
+
+
+def pack_rows_for_kernel(cp: jnp.ndarray, n_units: jnp.ndarray):
+    """Narrow-bucket sub-lane packing: (B, W) rows with W < 128 reshape to
+    G = 128//W logical rows per 128-lane vector (a pure row-major reshape:
+    logical rows g*i..g*i+G-1 become vector row i's segments). Returns
+    (cp_k, nu_k, seg, G); W >= 128 passes through unpacked."""
+    B, W = cp.shape
+    if W >= KERNEL_LANES:
+        return cp, n_units, 0, 1
+    assert KERNEL_LANES % W == 0 and B % (KERNEL_LANES // W) == 0, (B, W)
+    G = KERNEL_LANES // W
+    return (
+        cp.reshape(B // G, KERNEL_LANES),
+        n_units.reshape(B // G, G),
+        W,
+        G,
+    )
 
 
 def pack_needle_scalars(needle_packed: jnp.ndarray, count) -> jnp.ndarray:
@@ -530,7 +687,7 @@ def fuzzy_match_units(
     """
     B, W = cp.shape
     n = needle_packed.shape[0] // 2
-    assert W % 128 == 0 and W <= 1024, W
+    assert (W % 128 == 0 or 128 % W == 0) and W <= 1024, W
     assert n <= MAX_KERNEL_NEEDLE
     if interpret is None:
         # Compiled Mosaic on TPU; interpreter everywhere else (CPU tests)
@@ -541,14 +698,26 @@ def fuzzy_match_units(
         and score_fits_int16(scoring, n, W)
         and (interpret or INT16_MOSAIC_OK)
     )
-    TBO = block_rows(W)
+    G = 1 if W >= KERNEL_LANES else KERNEL_LANES // W
+    TBO = block_rows(max(W, KERNEL_LANES)) * G  # logical rows per block
 
-    run = functools.partial(
-        match_units,
-        max_typos=T, scoring=scoring, unicode=unicode,
-        no_prefilter=no_prefilter, int16_lanes=int16_lanes,
-        interpret=interpret,
-    )
+    def run(cp_r, nu_r, count_rows):
+        """Kernel over logical rows: narrow buckets pack G rows per
+        vector; the (rows, 8) result restores logical order."""
+        rows = cp_r.shape[0]
+        padr = (-rows) % G
+        if padr:  # zero-unit filler rows, sliced back off below
+            cp_r = jnp.pad(cp_r, ((0, padr), (0, 0)))
+            nu_r = jnp.pad(nu_r, ((0, padr), (0, 0)))
+        cp_k, nu_k, seg, g = pack_rows_for_kernel(cp_r, nu_r)
+        count_vec = (count_rows + (g - 1)) // g if g > 1 else count_rows
+        out = match_units(
+            cp_k, nu_k, pack_needle_scalars(needle_packed, count_vec),
+            max_typos=T, scoring=scoring, unicode=unicode,
+            no_prefilter=no_prefilter, int16_lanes=int16_lanes,
+            interpret=interpret, seg=seg,
+        )
+        return out.reshape(-1, 8)[:rows]
 
     def unpack(out, matched_pre=None):
         matched = out[:, 0].astype(jnp.bool_)
@@ -567,8 +736,7 @@ def fuzzy_match_units(
         mask4 is not None and not no_prefilter and n > T and B >= 2 * TBO
     )
     if not use_stage1:
-        scalars = pack_needle_scalars(needle_packed, B)
-        return unpack(run(cp, n_units, scalars))
+        return unpack(run(cp, n_units, B))
 
     s1 = stage1_presence(mask4, needle_packed, T)
     m32 = s1.astype(jnp.int32)
@@ -592,10 +760,7 @@ def fuzzy_match_units(
         permc = perm[:cap] if cap < B else perm
         cpc = jnp.take(cp, permc, axis=0)
         nuc = jnp.take(n_units, permc, axis=0)
-        scalars = pack_needle_scalars(
-            needle_packed, jnp.minimum(C, cap)
-        )
-        out = run(cpc, nuc, scalars)
+        out = run(cpc, nuc, jnp.minimum(C, cap))
         if cap < B:
             out = jnp.pad(out, ((0, B - cap), (0, 0)))
         return out

@@ -111,6 +111,74 @@ def test_kernel_typo3_path():
     _kernel_vs_jnp(hay, "dbef", 3)
 
 
+# Short rows for the narrow (sub-lane packed) buckets: G = 128//W logical
+# rows share one 128-lane vector with segmented scans (kernels `seg`)
+NARROW_CASES = [
+    "",
+    "d",
+    "deadbeef",
+    "DEADBEEF",
+    "DeadBeef",
+    "dead beef",
+    "dead/beef",
+    "eadbeef",
+    "deadbee",
+    "daedbeef",
+    "dxexaxdxbxexexf",
+    "f" * 15,
+    "xdeadbeefx",
+    "de adbe ef",
+    "_deadbeef",
+    "beefdead",
+]
+
+
+@pytest.mark.parametrize("width", [16, 32, 64])
+@pytest.mark.parametrize("typos", [0, 1, 2, None])
+def test_kernel_narrow_seg_packing(width, typos):
+    """W < 128 buckets pack G = 128//W rows per vector (segmented scans);
+    results must stay bit-identical to the jnp pipeline row-for-row."""
+    _kernel_vs_jnp(NARROW_CASES, "deadbeef", typos, widths=(width,))
+
+
+@pytest.mark.parametrize("width", [16, 64])
+def test_kernel_narrow_seg_randomized(width):
+    hay = generate_haystack(
+        "deadbeef",
+        HaystackGenerationOptions(
+            seed=321, partial_match_percentage=0.3, match_percentage=0.2,
+            median_length=max(8, width - 6), std_dev_length=4,
+            num_samples=257,  # odd count: exercises the G-padding path
+        ),
+    )
+    hay = [h[:width] for h in hay]
+    for typos in (0, 1, None):
+        _kernel_vs_jnp(hay, "deadbeef", typos, widths=(width,))
+
+
+def test_pack_rows_for_kernel_roundtrip():
+    from frizbee_tpu.ops.kernels import pack_rows_for_kernel
+
+    cp = jnp.arange(8 * 32, dtype=jnp.int8).reshape(8, 32)
+    nu = jnp.arange(8, dtype=jnp.int32).reshape(8, 1)
+    cp_k, nu_k, seg, g = pack_rows_for_kernel(cp, nu)
+    assert (seg, g) == (32, 4)
+    assert cp_k.shape == (2, 128)
+    assert nu_k.shape == (2, 4)
+    # row-major: logical row r lands in vector row r//G, segment r%G
+    np.testing.assert_array_equal(
+        np.asarray(cp_k).reshape(8, 32), np.asarray(cp)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(nu_k).reshape(8, 1), np.asarray(nu)
+    )
+    # W >= 128 passes through
+    cp2 = jnp.zeros((4, 128), jnp.int8)
+    nu2 = jnp.zeros((4, 1), jnp.int32)
+    r = pack_rows_for_kernel(cp2, nu2)
+    assert r[2] == 0 and r[3] == 1 and r[0] is cp2
+
+
 def test_kernel_int16_lanes_parity():
     """The u8/u16 dual-precision analog: int16 score lanes must agree with
     int32 bit-for-bit whenever score_fits_int16 admits the config

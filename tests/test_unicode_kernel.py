@@ -102,6 +102,43 @@ def test_unicode_kernel_randomized_parity():
             _kernel_vs_jnp(hay, needle, typos)
 
 
+@pytest.mark.parametrize("width", [16, 32, 64])
+@pytest.mark.parametrize("typos", [0, 1, None])
+def test_unicode_kernel_narrow_seg_packing(width, typos):
+    """Sub-lane packed (G = 128//W rows per vector) unicode buckets:
+    segmented scans must keep byte-context derivation (offsets, lengths,
+    n_bytes) per segment."""
+    hay = [
+        "",
+        "é",
+        "€𐍈",
+        "inلux",
+        "لineux",
+        "LEINUX",
+        "Λinux",
+        "l i n u x",
+        "l€i€n€u€x",
+        "𐍈linux𐍈",
+        "linu",
+        "inux",
+        "lxinu",
+        "가나 linux",
+        "😀lin😀ux",
+    ]
+    hay = [h[: width - 1] for h in hay]
+    _kernel_vs_jnp(hay, "linux", typos, widths=(width,))
+
+
+def test_unicode_kernel_narrow_seg_randomized():
+    hay = unicode_corpus(
+        "arabic", num_samples=253, median_units=24, needle="إن",
+        needle_every=4, seed=29,
+    )
+    hay = [h[:30] for h in hay]
+    for typos in (0, 1):
+        _kernel_vs_jnp(hay, "إن", typos, widths=(32,))
+
+
 def test_unicode_kernel_wide_bucket_trim_straddle():
     """Windows whose byte trim (start-1) lands inside a multi-byte unit's
     context, on a 256-unit bucket."""
