@@ -23,9 +23,11 @@ import numpy as np
 # where windows larger than the DP cap fall back to the greedy matcher
 # (reference: src/smith_waterman/algo/mod.rs:18).
 DEFAULT_BUCKETS: Tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024)
-# Default corpora pack to lane-aligned widths so the fused Pallas kernel
-# (ops/kernels.py) sees 128-multiple rows.
-LANE_BUCKETS: Tuple[int, ...] = (128, 256, 512, 1024)
+# Default corpora pack every power-of-two width: W >= 128 buckets map one
+# row per kernel vector row; narrower buckets sub-lane pack G = 128//W
+# rows per vector (ops/kernels.pack_rows_for_kernel), so short rows cost
+# ~W/128 of a full vector row instead of a whole one.
+LANE_BUCKETS: Tuple[int, ...] = DEFAULT_BUCKETS
 ASCII_BUCKETS = LANE_BUCKETS  # back-compat alias
 
 

@@ -449,18 +449,19 @@ class Matcher:
         """Batch matching; the most performant path
         (reference: src/matcher/mod.rs:205-222)."""
         if not self._compiled:
-            matches = [Match.from_index(i) for i in range(len(haystacks))]
+            # copy path (reference: src/matcher/mod.rs:205-210): positional
+            # slots construction — object build dominates this degenerate path
+            matches = [Match(0, i) for i in range(len(haystacks))]
             return sort_matches(matches, self._config.sort, by_score=False)
 
         index, score, exact, end_col = self.match_arrays(haystacks)
+        score_l = score.tolist()
+        index_l = index.tolist()
+        exact_l = exact.tolist()
+        end_l = end_col.tolist()
         return [
-            Match(
-                score=int(score[j]),
-                index=int(index[j]),
-                exact=bool(exact[j]),
-                end_col=int(end_col[j]),
-            )
-            for j in range(len(index))
+            Match(s, i, x, e)
+            for s, i, x, e in zip(score_l, index_l, exact_l, end_l)
         ]
 
     def match_list_indices(
@@ -473,7 +474,7 @@ class Matcher:
         (host-side, like the reference's alignment_iter) only runs on the
         matching rows."""
         if not self._compiled:
-            matches = [MatchIndices.from_index(i) for i in range(len(haystacks))]
+            matches = [MatchIndices(0, i) for i in range(len(haystacks))]
             if self._config.sort.is_reversed:
                 matches.reverse()
             return matches

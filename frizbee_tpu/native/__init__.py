@@ -65,8 +65,11 @@ def _build() -> Optional[str]:
 
 
 def get_lib():
-    """The loaded native library, or None when unavailable."""
+    """The loaded native library, or None when unavailable (or disabled
+    via FRIZBEE_TPU_NO_NATIVE=1 — every caller has a NumPy fallback)."""
     global _lib, _tried
+    if os.environ.get("FRIZBEE_TPU_NO_NATIVE") == "1":
+        return None
     if _tried:
         return _lib
     with _LOCK:
@@ -89,6 +92,14 @@ def get_lib():
                 lib.utf8_lengths.argtypes = [
                     ctypes.c_void_p, i64p, ctypes.c_int64, i64p,
                 ]
+                lib.sw_indices_batch.argtypes = (
+                    [ctypes.c_void_p] * 8
+                    + [ctypes.c_int64, ctypes.c_int64]
+                    + [ctypes.c_void_p] * 2
+                    + [ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+                    + [ctypes.c_void_p] * 3
+                    + [ctypes.c_int64]
+                )
                 _lib = lib
             except Exception:
                 _lib = None
@@ -135,6 +146,51 @@ def pack_rows_u32(joined_u32: np.ndarray, starts: np.ndarray,
         *[o.ctypes.data_as(ctypes.c_void_p) for o in outs],
     )
     return tuple(outs)
+
+
+def sw_indices_batch(
+    cp: np.ndarray, first: np.ndarray, prev: np.ndarray,
+    boff: np.ndarray, blen: np.ndarray,
+    su: np.ndarray, eu: np.ndarray, inc_prefix: np.ndarray,
+    orig: np.ndarray, flip: np.ndarray,
+    scoring9: np.ndarray, max_typos: Optional[int],
+):
+    """Batched per-row DP fill + traceback walk (score, reversed matched
+    byte offsets). Returns (score (R,), cnt (R,), idx (R, 4n)) int32, or
+    None when the native library is unavailable. Semantics contract:
+    oracle/smith_waterman.sw_indices; NumPy twin: traceback.sw_fill +
+    walk_indices."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    R, W = cp.shape
+    n = len(orig)
+    cap = max(4 * n, 1)
+
+    def c32(a):
+        return np.ascontiguousarray(a, np.int32)
+
+    cp, first, prev, boff, blen = map(c32, (cp, first, prev, boff, blen))
+    su, eu = c32(su), c32(eu)
+    inc = np.ascontiguousarray(inc_prefix, np.uint8)
+    orig, flip = c32(orig), c32(flip)
+    sc = c32(scoring9)
+    score = np.empty(R, np.int32)
+    cnt = np.empty(R, np.int32)
+    idx = np.empty((R, cap), np.int32)
+
+    def vp(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    lib.sw_indices_batch(
+        vp(cp), vp(first), vp(prev), vp(boff), vp(blen),
+        vp(su), vp(eu), vp(inc),
+        ctypes.c_int64(R), ctypes.c_int64(W),
+        vp(orig), vp(flip), ctypes.c_int64(n),
+        vp(sc), ctypes.c_int64(-1 if max_typos is None else int(max_typos)),
+        vp(score), vp(cnt), vp(idx), ctypes.c_int64(cap),
+    )
+    return score, cnt, idx
 
 
 def utf8_lengths(joined_u32: np.ndarray, starts: np.ndarray

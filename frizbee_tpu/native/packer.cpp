@@ -12,6 +12,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -85,6 +86,153 @@ void pack_rows_u32(const uint32_t* joined, const int64_t* starts,
             prev[base + k] = -1;
             boff[base + k] = 0;
             blen[base + k] = 0;
+        }
+    }
+}
+
+// Batched alignment traceback: per-row scalar DP fill + walk over the
+// packed bucket arrays, parallelized over rows. ~10M DP cells for a
+// 10k-match result set, so native scalar code beats NumPy vectorization
+// by an order of magnitude here (the walk is branchy and the matrices
+// are small). Semantics contract: frizbee_tpu/oracle/smith_waterman.py
+// sw_matrices + sw_indices (reference: src/smith_waterman/algo/ascii.rs
+// recurrence, src/smith_waterman/alignment_iter.rs:112-181 walk); the
+// NumPy twin in frizbee_tpu/traceback.py stays as the differential
+// oracle. int32 with clamp-at-zero equals the reference's u16 saturating
+// chain for guard-passing configs (see traceback.py module doc).
+//
+// Inputs are (R, W) bucket arrays; [su, eu) is each row's prefilter
+// window in unit coordinates (window bytes already trimmed by start-1).
+// Outputs: score, reversed matched byte offsets (cap = 4*n per row).
+void sw_indices_batch(const int32_t* cp, const int32_t* first,
+                      const int32_t* prev, const int32_t* boff,
+                      const int32_t* blen, const int32_t* su,
+                      const int32_t* eu, const uint8_t* inc_prefix,
+                      int64_t R, int64_t W, const int32_t* orig,
+                      const int32_t* flip, int64_t n,
+                      const int32_t* scoring, int64_t max_typos,
+                      int32_t* score_out, int32_t* cnt_out,
+                      int32_t* idx_out, int64_t cap) {
+    const int32_t ms = scoring[0], mm_pen = scoring[1];
+    const int32_t gap_open = scoring[2], gap_ext = scoring[3];
+    const int32_t prefix_b = scoring[4], cap_b = scoring[5];
+    const int32_t case_b = scoring[6], delim_b = scoring[8];
+    const int32_t goe = gap_open > gap_ext ? gap_open - gap_ext : 0;
+
+#pragma omp parallel
+    {
+        // per-thread (n+1) x (m+1) score + match-mask matrices
+        std::vector<int32_t> H((size_t)(n + 1) * (W + 1));
+        std::vector<uint8_t> MM((size_t)(n + 1) * (W + 1));
+        std::vector<int32_t> bonus((size_t)W);
+
+#pragma omp for schedule(dynamic, 16)
+        for (int64_t r = 0; r < R; ++r) {
+            const int64_t base = r * W;
+            const int32_t s0 = su[r];
+            const int64_t m = (int64_t)eu[r] - s0;
+            score_out[r] = 0;
+            cnt_out[r] = 0;
+            if (m <= 0 || n == 0) continue;
+            const int64_t stride = m + 1;
+
+            for (int64_t j = 0; j < m; ++j) {
+                int32_t fb = first[base + s0 + j];
+                int32_t pb = j == 0 ? -1 : prev[base + s0 + j];
+                bool fu = fb >= 0x41 && fb <= 0x5A;
+                bool pl = pb >= 0x61 && pb <= 0x7A;
+                auto is_delim = [](int32_t b) {
+                    bool letter = (b >= 0x41 && b <= 0x5A) ||
+                                  (b >= 0x61 && b <= 0x7A);
+                    bool digit = b >= 0x30 && b <= 0x39;
+                    return b >= 0 && b <= 127 && !letter && !digit;
+                };
+                int32_t bo = 0;
+                if (fu && pl) bo += cap_b;
+                if (is_delim(pb) && !is_delim(fb)) bo += delim_b;
+                if (inc_prefix[r] && j == 0) bo += prefix_b;
+                bonus[(size_t)j] = bo;
+            }
+
+            for (int64_t j = 0; j <= m; ++j) {
+                H[(size_t)j] = 0;
+                MM[(size_t)j] = 0;
+            }
+            for (int64_t i = 1; i <= n; ++i) {
+                const int32_t no = orig[i - 1], nf = flip[i - 1];
+                int32_t* row = H.data() + (size_t)(i * stride);
+                const int32_t* prow = H.data() + (size_t)((i - 1) * stride);
+                uint8_t* mrow = MM.data() + (size_t)(i * stride);
+                const uint8_t* pmm = MM.data() + (size_t)((i - 1) * stride);
+                row[0] = 0;
+                mrow[0] = 0;
+                for (int64_t j = 1; j <= m; ++j) {
+                    const int32_t h = cp[base + s0 + j - 1];
+                    const bool exact = h == no;
+                    const bool match = exact || h == nf;
+                    mrow[j] = match;
+                    int32_t diag = prow[j - 1];
+                    if (match) diag += ms + mm_pen + bonus[(size_t)(j - 1)];
+                    diag -= mm_pen;
+                    if (diag < 0) diag = 0;
+                    if (exact) diag += case_b;
+                    int32_t up =
+                        prow[j] - gap_ext - (pmm[j] ? goe : 0);
+                    if (up < 0) up = 0;
+                    int32_t left =
+                        row[j - 1] - gap_ext - (mrow[j - 1] ? goe : 0);
+                    if (left < 0) left = 0;
+                    int32_t v = diag > up ? diag : up;
+                    row[j] = v > left ? v : left;
+                }
+            }
+
+            const int32_t* fin = H.data() + (size_t)(n * stride);
+            int32_t score = 0;
+            for (int64_t j = 1; j <= m; ++j)
+                if (fin[j] > score) score = fin[j];
+            score_out[r] = score;
+            if (score == 0) continue;
+
+            int64_t col = 1;
+            while (fin[col] != score) ++col;
+            int64_t row_i = n;
+            int32_t cur = score;
+            int64_t typo = 0;
+            int32_t cnt = 0;
+            int32_t* out = idx_out + r * cap;
+            while (row_i > 0) {
+                if (max_typos >= 0 && typo > max_typos) break;
+                if (col < 1 || cur == 0) break;
+                if (MM[(size_t)(row_i * stride + col)]) {
+                    const int64_t unit = s0 + col - 1;
+                    const int32_t off = boff[base + unit];
+                    for (int32_t b = blen[base + unit] - 1; b >= 0; --b)
+                        out[cnt++] = off + b;
+                    --row_i;
+                    --col;
+                    cur = H[(size_t)(row_i * stride + col)];
+                    continue;
+                }
+                const int32_t diag =
+                    H[(size_t)((row_i - 1) * stride + col - 1)];
+                const int32_t left = H[(size_t)(row_i * stride + col - 1)];
+                const int32_t up = H[(size_t)((row_i - 1) * stride + col)];
+                if (diag >= left && diag >= up) {
+                    --row_i;
+                    --col;
+                    ++typo;
+                    cur = diag;
+                } else if (left >= up) {
+                    --col;
+                    cur = left;
+                } else {
+                    --row_i;
+                    ++typo;
+                    cur = up;
+                }
+            }
+            cnt_out[r] = cnt;
         }
     }
 }

@@ -35,7 +35,11 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+from . import native
 from .config import MAX_HAYSTACK_LEN, Scoring
+
+# Test hook: force the NumPy fill+walk (the native path's differential twin)
+_FORCE_NUMPY = False
 
 
 def _unit_occ(cp: np.ndarray, valid: np.ndarray, orig: int, flip: int
@@ -299,6 +303,14 @@ def batched_match_indices(engine, haystacks: List[str]) -> List[Optional[tuple]]
     flip = np.array(engine.units.flip, np.int32)
     needle_bytes = engine.needle_bytes
 
+    scoring9 = np.array(
+        [scoring.match_score, scoring.mismatch_penalty,
+         scoring.gap_open_penalty, scoring.gap_extend_penalty,
+         scoring.prefix_bonus, scoring.capitalization_bonus,
+         scoring.matching_case_bonus, scoring.exact_match_bonus,
+         scoring.delimiter_bonus], np.int32,
+    )
+
     for bucket in corpus.buckets:
         real = bucket.indices >= 0
         cp, fbyte, pbyte, boff, blen = bucket._full_arrays()
@@ -314,25 +326,63 @@ def batched_match_indices(engine, haystacks: List[str]) -> List[Optional[tuple]]
             )
         wstart = np.maximum(ws_raw - 1, 0)
         small = (we - wstart) <= MAX_HAYSTACK_LEN
-        todo = matched & real & small
-        if not todo.any():
+        todo = np.nonzero(matched & real & small)[0]
+        if todo.size == 0:
             continue
-        H, MM = sw_fill(
-            cp, fbyte, pbyte, boff, blen, nu, wstart, we, orig, flip,
-            scoring,
+        # compact to the rows being walked (callers pass matches, but the
+        # bucket also carries size-class padding and gated rows)
+        cp_c, fb_c, pb_c = cp[todo], fbyte[todo], pbyte[todo]
+        bo_c, bl_c = boff[todo], blen[todo]
+        ws_c, we_c, nu_c = wstart[todo], we[todo], nu[todo]
+
+        nat = None
+        if not _FORCE_NUMPY:
+            cols = np.arange(cp_c.shape[1], dtype=np.int32)[None, :]
+            act = (
+                (cols < nu_c[:, None])
+                & (bo_c >= ws_c[:, None])
+                & (bo_c + bl_c <= we_c[:, None])
+            )
+            m_units = act.sum(axis=1).astype(np.int32)
+            su = np.where(
+                m_units > 0, np.argmax(act, axis=1), 0
+            ).astype(np.int32)
+            nat = native.sw_indices_batch(
+                cp_c, fb_c, pb_c, bo_c, bl_c, su, su + m_units,
+                ws_c == 0, orig, flip, scoring9, cfg.max_typos,
+            )
+        if nat is not None:
+            score, cnt, idx = nat
+
+            def row_inds(r):
+                return idx[r, : cnt[r]].tolist()
+        else:
+            H, MM = sw_fill(
+                cp_c, fb_c, pb_c, bo_c, bl_c, nu_c, ws_c, we_c, orig,
+                flip, scoring,
+            )
+            score, idx_lists = walk_indices(
+                H, MM, bo_c, bl_c, cfg.max_typos
+            )
+
+            def row_inds(r):
+                return idx_lists[r]
+
+        # the full-string equality check only runs when the byte length
+        # already matches the needle's (the common case skips encode())
+        include_exact = (
+            (ws_c == 0)
+            & (we_c == nb[todo])
+            & (nb[todo] == len(needle_bytes))
         )
-        score, idx_lists = walk_indices(
-            H, MM, boff, blen, cfg.max_typos
-        )
-        include_exact = (wstart == 0) & (we == nb)
-        for r in np.nonzero(todo)[0]:
-            gi = int(bucket.indices[r])
+        for r, br in enumerate(todo):
+            gi = int(bucket.indices[br])
             s = int(score[r])
             exact = bool(include_exact[r]) and (
                 haystacks[gi].encode("utf-8") == needle_bytes
             )
             if exact:
                 s = min(s + scoring.exact_match_bonus, 0xFFFF)
-            inds = idx_lists[r] if s > 0 else []
+            inds = row_inds(r) if s > 0 else []
             results[gi] = (s, exact, inds)
     return results

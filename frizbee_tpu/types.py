@@ -10,7 +10,7 @@ from dataclasses import dataclass, field
 from typing import List
 
 
-@dataclass
+@dataclass(slots=True)
 class Match:
     score: int = 0
     index: int = 0
@@ -30,7 +30,7 @@ class Match:
         return self.sort_key() < other.sort_key()
 
 
-@dataclass
+@dataclass(slots=True)
 class MatchIndices:
     score: int = 0
     index: int = 0

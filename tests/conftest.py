@@ -8,6 +8,12 @@ initializes."""
 
 import os
 
+# Tests never want the persistent compilation cache: CPU compiles are
+# fast, and concurrent suite/bench runs sharing one cache dir have
+# produced corrupt entries that SIGABRT inside XLA's cache read (the
+# cache exists for minutes-long remote TPU compiles, not for tests).
+os.environ.setdefault("FRIZBEE_TPU_NO_CACHE", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -33,6 +39,18 @@ def pytest_configure(config):
         "markers",
         "slow: reference-scale generated suites; opt in with --runslow",
     )
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """XLA's CPU backend segfaults inside backend_compile once enough
+    executables accumulate in one process (reproduced: test_batch_api +
+    test_batch_fast deterministically crashes compiling the 14th test's
+    program; either file alone passes). Dropping compiled programs
+    between modules keeps the live-executable set small; modules rarely
+    share program shapes, so the recompile cost is noise."""
+    yield
+    jax.clear_caches()
 
 
 def pytest_collection_modifyitems(config, items):

@@ -69,3 +69,25 @@ def test_batched_traceback_custom_scoring(hay):
                         capitalization_bonus=9)
     )
     _assert_indices_equal(hay, "dead", cfg)
+
+
+@pytest.mark.parametrize("typos", [0, 2, None])
+def test_native_walk_equals_numpy_walk(hay, typos):
+    """The C++ fill+walk (native/packer.cpp sw_indices_batch) must equal
+    the NumPy twin tuple-for-tuple; keeps the NumPy path exercised on
+    hosts where the native library builds."""
+    import frizbee_tpu.traceback as tb
+    from frizbee_tpu import native
+    from frizbee_tpu.engine import FuzzyEngine
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    for needle in ("deadbeef", "DeadBe"):
+        eng = FuzzyEngine(needle, Config(max_typos=typos))
+        nat = tb.batched_match_indices(eng, hay)
+        tb._FORCE_NUMPY = True
+        try:
+            ref = tb.batched_match_indices(eng, hay)
+        finally:
+            tb._FORCE_NUMPY = False
+        assert nat == ref
