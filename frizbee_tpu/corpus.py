@@ -260,6 +260,80 @@ class Corpus:
             self._xl_mask = jnp.asarray(m)
         return self._xl_mask
 
+    # -- persistence (the checkpoint analog: pack once, serve from any
+    # process; combined with the persistent compilation cache a reload
+    # skips both packing and compiles). Reference scope: serde derives on
+    # its types (src/lib.rs:107-108) — a packed corpus is this engine's
+    # equivalent long-lived state.
+    _SAVE_VERSION = 1
+
+    def save(self, path: str) -> None:
+        """Write the packed corpus to ``path`` (.npz)."""
+        blob = b"".join(h.encode("utf-8") for h in self.haystacks)
+        lens = np.fromiter(
+            (len(h.encode("utf-8")) for h in self.haystacks),
+            dtype=np.int64, count=len(self.haystacks),
+        )
+        arrs: Dict[str, np.ndarray] = {
+            "version": np.int64(self._SAVE_VERSION),
+            "unicode": np.int64(int(self.unicode)),
+            "hay_blob": np.frombuffer(blob, dtype=np.uint8),
+            "hay_lens": lens,
+            "xl_indices": self.xl_indices,
+            "n_buckets": np.int64(len(self.buckets)),
+        }
+        for i, b in enumerate(self.buckets):
+            arrs[f"b{i}_width"] = np.int64(b.width)
+            arrs[f"b{i}_indices"] = b.indices
+            arrs[f"b{i}_cp"] = b.cp
+            arrs[f"b{i}_n_units"] = b.n_units
+            arrs[f"b{i}_n_bytes"] = b.n_bytes
+            # context arrays are None on the native int8 ASCII layout
+            # (they re-derive lazily); presence is flagged per bucket
+            if b.first_byte is not None:
+                arrs[f"b{i}_first"] = b.first_byte
+                arrs[f"b{i}_prev"] = b.prev_last_byte
+                arrs[f"b{i}_boff"] = b.byte_off
+                arrs[f"b{i}_blen"] = b.byte_len
+        np.savez(path, **arrs)
+
+    @classmethod
+    def load(cls, path: str) -> "Corpus":
+        """Read a corpus previously written by :meth:`save`."""
+        with np.load(path) as z:
+            version = int(z["version"])
+            if version != cls._SAVE_VERSION:
+                raise ValueError(
+                    f"unsupported corpus file version {version}"
+                )
+            blob = z["hay_blob"].tobytes()
+            lens = z["hay_lens"]
+            ends = np.cumsum(lens)
+            haystacks = [
+                blob[e - l: e].decode("utf-8")
+                for l, e in zip(lens.tolist(), ends.tolist())
+            ]
+            buckets = []
+            for i in range(int(z["n_buckets"])):
+                has_ctx = f"b{i}_first" in z
+                buckets.append(PackedBucket(
+                    width=int(z[f"b{i}_width"]),
+                    indices=z[f"b{i}_indices"],
+                    cp=z[f"b{i}_cp"],
+                    first_byte=z[f"b{i}_first"] if has_ctx else None,
+                    prev_last_byte=z[f"b{i}_prev"] if has_ctx else None,
+                    byte_off=z[f"b{i}_boff"] if has_ctx else None,
+                    byte_len=z[f"b{i}_blen"] if has_ctx else None,
+                    n_units=z[f"b{i}_n_units"],
+                    n_bytes=z[f"b{i}_n_bytes"],
+                ))
+            return cls(
+                haystacks=haystacks,
+                unicode=bool(int(z["unicode"])),
+                buckets=buckets,
+                xl_indices=z["xl_indices"],
+            )
+
 
 def pack_corpus(
     haystacks: Sequence[str],

@@ -11,6 +11,7 @@ Port of the reference's atom syntax and per-pattern config overrides
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field, replace
 from typing import List, Optional
 
@@ -45,6 +46,30 @@ class PatternConfig:
     def with_(self, **kwargs) -> "PatternConfig":
         return replace(self, **kwargs)
 
+    # JSON round-tripping (serde-derive analog; None = inherit survives)
+    def to_dict(self) -> dict:
+        return {
+            "max_typos": self.max_typos,
+            "casing": self.casing.value if self.casing else None,
+            "unicode": self.unicode.value if self.unicode else None,
+            "matching": self.matching.value if self.matching else None,
+            "scoring": (
+                dataclasses.asdict(self.scoring) if self.scoring else None
+            ),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PatternConfig":
+        return cls(
+            max_typos=d.get("max_typos"),
+            casing=CaseMatching(d["casing"]) if d.get("casing") else None,
+            unicode=(
+                UnicodeMatching(d["unicode"]) if d.get("unicode") else None
+            ),
+            matching=Matching(d["matching"]) if d.get("matching") else None,
+            scoring=Scoring(**d["scoring"]) if d.get("scoring") else None,
+        )
+
 
 @dataclass(frozen=True)
 class Pattern:
@@ -63,6 +88,23 @@ class Pattern:
 
     def with_(self, **kwargs) -> "Pattern":
         return replace(self, **kwargs)
+
+    def to_dict(self) -> dict:
+        return {
+            "pattern": self.pattern,
+            "negated": self.negated,
+            "needle": self.needle,
+            "config": self.config.to_dict(),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Pattern":
+        return cls(
+            pattern=d["pattern"],
+            negated=bool(d.get("negated", False)),
+            needle=d.get("needle", ""),
+            config=PatternConfig.from_dict(d.get("config") or {}),
+        )
 
     @classmethod
     def parse(cls, atom: str) -> "Pattern":

@@ -23,6 +23,17 @@ class Match:
     def from_index(cls, index: int) -> "Match":
         return cls(score=0, index=index, exact=False, end_col=0)
 
+    # JSON round-tripping (the analog of the reference's serde derives on
+    # Match, src/lib.rs:141-152)
+    def to_dict(self) -> dict:
+        return {"score": self.score, "index": self.index,
+                "exact": self.exact, "end_col": self.end_col}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Match":
+        return cls(int(d["score"]), int(d["index"]),
+                   bool(d.get("exact", False)), int(d.get("end_col", 0)))
+
     def sort_key(self):
         return (-self.score, self.index)
 
@@ -41,6 +52,16 @@ class MatchIndices:
     @classmethod
     def from_index(cls, index: int) -> "MatchIndices":
         return cls(score=0, index=index, exact=False, indices=[])
+
+    def to_dict(self) -> dict:
+        return {"score": self.score, "index": self.index,
+                "exact": self.exact, "indices": list(self.indices)}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "MatchIndices":
+        return cls(int(d["score"]), int(d["index"]),
+                   bool(d.get("exact", False)),
+                   [int(i) for i in d.get("indices", [])])
 
     def sort_key(self):
         return (-self.score, self.index)
