@@ -27,8 +27,7 @@ WIDTHS = tuple(int(w) for w in sys.argv[1:]) or (16, 32, 64, 128, 256,
 hay = partial_match_corpus(median_length=64, num_samples=N)
 corpus = pack_corpus(hay, unicode=False, bucket_widths=WIDTHS)
 print("buckets:", [(b.width, b.cp.shape[0]) for b in corpus.buckets],
-      "xl:", corpus.xl_count if hasattr(corpus, "xl_count") else "?",
-      flush=True)
+      "xl:", len(corpus.xl_indices), flush=True)
 
 queries = [Matcher.from_query(s, Config()) for s in ["deadbeef"]]
 rng = np.random.default_rng(99)

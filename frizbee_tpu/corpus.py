@@ -268,11 +268,12 @@ class Corpus:
     _SAVE_VERSION = 1
 
     def save(self, path: str) -> None:
-        """Write the packed corpus to ``path`` (.npz)."""
-        blob = b"".join(h.encode("utf-8") for h in self.haystacks)
+        """Write the packed corpus to ``path`` (npz format; the exact
+        path is used verbatim — no .npz suffix is appended)."""
+        data = [h.encode("utf-8") for h in self.haystacks]
+        blob = b"".join(data)
         lens = np.fromiter(
-            (len(h.encode("utf-8")) for h in self.haystacks),
-            dtype=np.int64, count=len(self.haystacks),
+            (len(d) for d in data), dtype=np.int64, count=len(data),
         )
         arrs: Dict[str, np.ndarray] = {
             "version": np.int64(self._SAVE_VERSION),
@@ -295,7 +296,10 @@ class Corpus:
                 arrs[f"b{i}_prev"] = b.prev_last_byte
                 arrs[f"b{i}_boff"] = b.byte_off
                 arrs[f"b{i}_blen"] = b.byte_len
-        np.savez(path, **arrs)
+        # write through a handle: np.savez(str) silently appends ".npz"
+        # when the suffix is missing, which would break load(same_path)
+        with open(path, "wb") as fh:
+            np.savez(fh, **arrs)
 
     @classmethod
     def load(cls, path: str) -> "Corpus":
