@@ -7,9 +7,10 @@ own headline corpus scale (Chromium, 1.41M paths, BENCHMARKS.md:50-65).
 
 Headline metric: sustained haystacks/sec in pipelined top-k serving — a
 batch of distinct queries against one resident packed corpus, one device
-program, one result fetch (`match_topk_batch`: exact total match count +
-the best k=2048 rows per query; the full sorted match list stays
-device-resident). That is the deployment shape for an accelerator: the
+program, one result fetch per batch, with 3 batches in flight
+(`match_topk_batch_async`: exact total match count + the best k=2048 rows
+per query; the full sorted match list stays device-resident; pipelining
+overlaps the host-link round trip with device execution). That is the deployment shape for an accelerator: the
 host link here is a tunnel with ~26 ms RTT and ~30 MB/s, so single-query
 latency measures the link, not the engine (reported in extra anyway), and
 shipping every match row of a 1M-row corpus over it would measure the
@@ -23,6 +24,7 @@ cost is linear in corpus size — 63M hay/s on 1.4M-row Chromium).
 
 import json
 import time
+from collections import deque
 
 import numpy as np
 
@@ -50,7 +52,11 @@ def main():
     from frizbee_tpu.config import Config
     from frizbee_tpu.corpus import pack_corpus
     from frizbee_tpu.datagen import partial_match_corpus
-    from frizbee_tpu.matcher import Matcher, match_topk_batch
+    from frizbee_tpu.matcher import (
+        Matcher,
+        match_topk_batch,
+        match_topk_batch_async,
+    )
 
     haystacks = partial_match_corpus(median_length=MEDIAN_LEN, num_samples=N)
     corpus = pack_corpus(haystacks, unicode=False)
@@ -71,13 +77,31 @@ def main():
     latency = float(np.median(lat))
     n_matches = int(len(out[0]))
 
-    # Pipelined top-k serving throughput
+    # Blocking round-trip serving (one batch in flight at a time)
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         res = match_topk_batch(queries, corpus, Config(), k=TOP_K)
         times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    blocking_dt = float(np.median(times))
+
+    # Steady-state pipelined serving: 3 batches in flight so the host-link
+    # round trip overlaps device execution (match_topk_batch_async — the
+    # production pattern; the reference's number is likewise a hot-loop
+    # throughput, not a cold round trip)
+    DEPTH, RUNS = 3, 10
+    futs = deque(
+        match_topk_batch_async(queries, corpus, Config(), k=TOP_K)
+        for _ in range(DEPTH)
+    )
+    t0 = time.perf_counter()
+    for _ in range(RUNS):
+        futs.append(match_topk_batch_async(queries, corpus, Config(),
+                                           k=TOP_K))
+        res = futs.popleft().result()
+    dt = (time.perf_counter() - t0) / RUNS
+    while futs:
+        futs.popleft().result()
     assert len(res) == len(queries)
     # permuted variants can legitimately match nothing (stage-1 and the
     # kernels still do identical work — presence is order-blind); the
@@ -96,6 +120,8 @@ def main():
             "batch_queries": Q,
             "top_k": TOP_K,
             "batch_seconds": dt,
+            "pipeline_depth": DEPTH,
+            "blocking_batch_seconds": blocking_dt,
             "single_query_latency_seconds": latency,
             "single_query_matches": n_matches,
             "reference_haystacks_per_sec": REF_HAYSTACKS_PER_SEC,

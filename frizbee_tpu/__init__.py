@@ -79,6 +79,8 @@ __all__ = [
     "fuzzy_match_indices",
     "match_arrays_batch",
     "match_list",
+    "match_topk_batch",
+    "match_topk_batch_async",
     "match_list_indices",
     "match_list_parallel",
     "sort_matches",
@@ -86,7 +88,8 @@ __all__ = [
 
 _MATCHER_EXPORTS = (
     "Matcher", "match_list", "match_list_indices", "match_list_parallel",
-    "match_arrays_batch", "fuzzy_match", "fuzzy_match_indices",
+    "match_arrays_batch", "match_topk_batch", "match_topk_batch_async",
+    "fuzzy_match", "fuzzy_match_indices",
 )
 
 

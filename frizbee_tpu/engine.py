@@ -87,6 +87,24 @@ class FuzzyEngine:
             )
         return self._device_args
 
+    def _host_needle(self):
+        """Host twins of _device_needle's arrays (cached): the batch
+        dispatcher stacks per-query needles on host and ships ONE array
+        per group — per-needle jnp ops would each pay a device RPC."""
+        if getattr(self, "_host_args", None) is None:
+            from .ops.fuzzy import SCORING_FIELDS
+
+            self._host_args = (
+                np.array(self.units.orig, np.int32),
+                np.array(self.units.flip, np.int32),
+                np.array(
+                    [getattr(self.config.scoring, f)
+                     for f in SCORING_FIELDS], np.int32,
+                ),
+            )
+        return self._host_args
+
+
     def match_corpus(self, corpus: Corpus) -> MatchResult:
         assert corpus.unicode == self.unicode, "corpus packed for wrong unicode mode"
         n = len(corpus)
@@ -292,6 +310,24 @@ class LiteralEngine:
                 scoring_vector(self.config.scoring),
             )
         return self._device_args
+
+    def _host_needle(self):
+        """Host twins of _device_needle's arrays (cached): the batch
+        dispatcher stacks per-query needles on host and ships ONE array
+        per group — per-needle jnp ops would each pay a device RPC."""
+        if getattr(self, "_host_args", None) is None:
+            from .ops.fuzzy import SCORING_FIELDS
+
+            self._host_args = (
+                np.array(self.units.orig, np.int32),
+                np.array(self.units.flip, np.int32),
+                np.array(
+                    [getattr(self.config.scoring, f)
+                     for f in SCORING_FIELDS], np.int32,
+                ),
+            )
+        return self._host_args
+
 
     def match_one(self, haystack: str, index: int) -> Optional[Match]:
         data = haystack.encode("utf-8")

@@ -729,18 +729,21 @@ def fuzzy_match_indices(
     return Matcher(needle, config, **kw).match_iter_indices(haystacks)
 
 
-def _run_batch_groups(
+def _dispatch_batch_groups(
     matchers: List[Matcher],
     corpus: Corpus,
     config: Config,
     fetch_rows: int,
-) -> List[Optional[tuple]]:
-    """Shared engine for the pipelined-serving APIs: group shape-uniform
+):
+    """Dispatch half of the pipelined-serving engine: group shape-uniform
     queries (same pattern count, per-pattern needle lengths and statics)
-    into one scanned device program each, one fetch per group. Returns
-    per-query (count, index, score, exact, end_col, greedy) of the top
-    ``fetch_rows`` device rows, or None for queries the fused device path
-    can't serve (those fall back to the per-query path)."""
+    into one scanned device program each and launch them all (async — no
+    fetch happens here). Per-query needles are stacked on HOST and shipped
+    as one array per group: per-needle jnp ops would each pay a device
+    RPC on remote-device links. Returns (pending, results) where pending
+    is [(device_out, members), ...] and results is pre-seeded with None
+    (queries the fused path can't serve stay None for the per-query
+    fallback)."""
     import jax.numpy as jnp
 
     from .ops.batch import fused_match_sorted_batch
@@ -757,24 +760,30 @@ def _run_batch_groups(
         # dispatch-by-needle rule (src/matcher/mod.rs respects_unicode)
         if m._compiled[0].engine.unicode != corpus.unicode:
             continue
-        buckets, patterns, statics, use_kernel, bst = (
+        buckets, _patterns, statics, use_kernel, bst = (
             m._fused_device_args(corpus)
+        )
+        patterns_host = tuple(
+            cp.engine._host_needle() for cp in m._compiled
         )
         key = (
             statics,
-            tuple(p[0].shape[0] for p in patterns),
+            tuple(p[0].shape[0] for p in patterns_host),
             use_kernel,
             bst,
         )
         groups.setdefault(key, []).append(i)
-        prepared[i] = (buckets, patterns)
+        prepared[i] = (buckets, patterns_host)
 
+    pending = []
     for (statics, _lens, use_kernel, bst), members in groups.items():
         buckets = prepared[members[0]][0]
         n_pat = len(statics)
         stacked = tuple(
             tuple(
-                jnp.stack([prepared[i][1][p][a] for i in members])
+                jnp.asarray(
+                    np.stack([prepared[i][1][p][a] for i in members])
+                )
                 for a in range(3)
             )
             for p in range(n_pat)
@@ -792,6 +801,18 @@ def _run_batch_groups(
             fetch_rows=min(fetch_rows, len(corpus)),
             bucket_statics=bst,
         )
+        try:
+            out.copy_to_host_async()  # start the transfer behind later work
+        except AttributeError:
+            pass
+        pending.append((out, members))
+    return pending, results
+
+
+def _collect_batch_groups(pending, results) -> List[Optional[tuple]]:
+    """Fetch half: one device->host read per dispatched group, then decode
+    per-query (count, index, score, exact, end_col, greedy) rows."""
+    for out, members in pending:
         all_rows = np.asarray(out)  # ONE fetch for the whole group
         for qi, i in enumerate(members):
             block = all_rows[qi]
@@ -799,6 +820,22 @@ def _run_batch_groups(
             rows = block[1 : 1 + min(count, block.shape[0] - 1)]
             results[i] = (count,) + Matcher._decode_rows(rows)
     return results
+
+
+def _run_batch_groups(
+    matchers: List[Matcher],
+    corpus: Corpus,
+    config: Config,
+    fetch_rows: int,
+) -> List[Optional[tuple]]:
+    """Dispatch + fetch in one blocking call (the simple serving shape).
+    Returns per-query (count, index, score, exact, end_col, greedy) of
+    the top ``fetch_rows`` device rows, or None for queries the fused
+    device path can't serve (those fall back to the per-query path)."""
+    pending, results = _dispatch_batch_groups(
+        matchers, corpus, config, fetch_rows
+    )
+    return _collect_batch_groups(pending, results)
 
 
 def _resolve_batch(queries, corpus, config):
@@ -867,7 +904,11 @@ def match_topk_batch(
     config = config or Config()
     matchers, corpus = _resolve_batch(queries, corpus, config)
     raw = _run_batch_groups(matchers, corpus, config, min(k, len(corpus)))
-    results: List[Optional[tuple]] = [None] * len(queries)
+    return _finalize_topk(matchers, corpus, raw, k)
+
+
+def _finalize_topk(matchers, corpus, raw, k) -> List[tuple]:
+    results: List[Optional[tuple]] = [None] * len(matchers)
     for i, r in enumerate(raw):
         if r is None:
             index, score, exact, end_col = matchers[i].match_arrays(corpus)
@@ -885,3 +926,52 @@ def match_topk_batch(
         count += len(index) - fetched
         results[i] = (count, index[:k], score[:k], exact[:k], end_col[:k])
     return results
+
+
+class BatchFuture:
+    """An in-flight ``match_topk_batch_async`` result. The device program
+    and the device->host transfer proceed while the caller does other
+    work — typically dispatching the next batch, so link round-trip time
+    overlaps device execution instead of adding to every batch."""
+
+    def __init__(self, matchers, corpus, k, pending, raw):
+        self._matchers = matchers
+        self._corpus = corpus
+        self._k = k
+        self._pending = pending
+        self._raw = raw
+        self._result = None
+
+    def result(self) -> List[tuple]:
+        """Block until ready; same return shape as ``match_topk_batch``."""
+        if self._result is None:
+            raw = _collect_batch_groups(self._pending, self._raw)
+            self._result = _finalize_topk(
+                self._matchers, self._corpus, raw, self._k
+            )
+            self._pending = None
+        return self._result
+
+
+def match_topk_batch_async(
+    queries: Sequence[Union[str, "Matcher"]],
+    corpus: Union[Sequence[str], Corpus],
+    config: Optional[Config] = None,
+    k: int = 2048,
+) -> BatchFuture:
+    """Pipelined serving: dispatch a top-k batch WITHOUT fetching. Keeping
+    2-3 batches in flight hides the host-link round trip behind device
+    execution (the steady-state production shape on remote accelerators):
+
+        futures = deque()
+        for batch in stream:
+            futures.append(match_topk_batch_async(batch, corpus, cfg))
+            if len(futures) >= DEPTH:
+                consume(futures.popleft().result())
+    """
+    config = config or Config()
+    matchers, corpus = _resolve_batch(queries, corpus, config)
+    pending, raw = _dispatch_batch_groups(
+        matchers, corpus, config, min(k, len(corpus))
+    )
+    return BatchFuture(matchers, corpus, k, pending, raw)

@@ -17,7 +17,12 @@ from frizbee_tpu.datagen import (
     partial_match_corpus,
     unicode_corpus,
 )
-from frizbee_tpu.matcher import Matcher, match_arrays_batch, match_topk_batch
+from frizbee_tpu.matcher import (
+    Matcher,
+    match_arrays_batch,
+    match_topk_batch,
+    match_topk_batch_async,
+)
 
 QUERIES = ["deadbeef", "feedbead", "badcafes", "dead"]
 
@@ -111,6 +116,23 @@ def test_fast_multi_bucket_corpus():
     corpus = pack_corpus(hay, unicode=False)
     assert len(corpus.buckets) >= 2
     _assert_query_parity(corpus, ["deadbeef", "beef"], Config())
+
+
+def test_async_batch_equals_sync(corpus_partial):
+    """Pipelined dispatch (multiple futures in flight) must return exactly
+    what the blocking call returns, and result() must be idempotent."""
+    sync = match_topk_batch(QUERIES, corpus_partial, Config(), k=50)
+    futs = [
+        match_topk_batch_async(QUERIES, corpus_partial, Config(), k=50)
+        for _ in range(3)
+    ]
+    for f in futs:
+        res = f.result()
+        for r, s in zip(res, sync):
+            assert r[0] == s[0]
+            for a, b in zip(r[1:], s[1:]):
+                np.testing.assert_array_equal(a, b)
+    assert futs[0].result() is futs[0].result()
 
 
 def test_fast_empty_batch_short_circuit():
