@@ -285,6 +285,16 @@ def main():
                 f"{r['reference_haystacks_per_sec']} | "
                 f"{r['vs_reference']} |\n"
             )
+        f.write(
+            "\nServing = steady-state pipelined top-k batches "
+            "(match_topk_batch_async, depth 3, 16 queries/batch, k=2048); "
+            "latency = one blocking single-query round trip on a ~26 ms "
+            "RTT host link. copy_path builds Python Match objects (the "
+            "reference's row is a memcpy). device_sort is an isolated-op "
+            "floor comparison (one ~1.6 ms device sort vs the reference's "
+            "131 us radix); in serving, sorts batch across the Q axis at "
+            "~0.2 ms/query amortized.\n"
+        )
     print("wrote benchmarks/RESULTS.md", file=sys.stderr)
 
 
