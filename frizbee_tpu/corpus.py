@@ -346,6 +346,8 @@ def pack_corpus(
 ) -> Corpus:
     if bucket_widths is None:
         bucket_widths = LANE_BUCKETS
+    from . import native
+
     n = len(haystacks)
     if n == 0:
         return Corpus(list(haystacks), unicode, [], np.zeros(0, np.int64))
@@ -359,37 +361,68 @@ def pack_corpus(
         cp_flat = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(
             np.int32
         )
-        first_flat = _utf8_lead_byte(cp_flat)
-        last_flat = _utf8_last_byte(cp_flat)
-        len_flat = _utf8_len(cp_flat)
+        joined_b = None
     else:
-        # Unit = byte.
+        # Unit = byte. The flat int32 view and all byte-context arrays are
+        # only needed by the NumPy fallback packer (the native packer works
+        # off joined_b directly, and ASCII context derives lazily on
+        # device upload) — at 10M+ rows the generic prep is tens of GB of
+        # host temporaries, so it is built on demand (see _flat()).
         data = [h.encode("utf-8") for h in haystacks]
         unit_counts = np.fromiter((len(d) for d in data), dtype=np.int64, count=n)
         joined_b = b"".join(data)
-        cp_flat = np.frombuffer(joined_b, dtype=np.uint8).astype(np.int32)
-        first_flat = cp_flat
-        last_flat = cp_flat
-        len_flat = np.ones_like(cp_flat)
+        cp_flat = None
 
     starts = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(unit_counts, out=starts[1:])
-    row_of_unit = np.repeat(np.arange(n), unit_counts)
 
-    # byte offsets within each haystack: global exclusive cumsum of unit byte
-    # lengths, rebased to each row's start
-    glob_off = np.zeros(cp_flat.shape[0] + 1, dtype=np.int64)
-    np.cumsum(len_flat, out=glob_off[1:])
-    byte_off_flat = glob_off[:-1] - glob_off[starts[:-1]][row_of_unit]
+    _flat_cache = {}
 
-    nbytes = glob_off[starts[1:]] - glob_off[starts[:-1]]
+    def _flat():
+        """Flat per-unit context arrays for the NumPy fallback packer
+        (cp, first, prev_last, byte_off, len). Lazy: skipped entirely
+        when the native packer serves every chunk."""
+        if _flat_cache:
+            return _flat_cache
+        if unicode:
+            cpf = cp_flat
+            first_flat = _utf8_lead_byte(cpf)
+            last_flat = _utf8_last_byte(cpf)
+            len_flat = _utf8_len(cpf)
+        else:
+            cpf = np.frombuffer(joined_b, dtype=np.uint8).astype(np.int32)
+            first_flat = cpf
+            last_flat = cpf
+            len_flat = np.ones_like(cpf)
+        row_of_unit = np.repeat(np.arange(n), unit_counts)
+        # byte offsets within each haystack: global exclusive cumsum of
+        # unit byte lengths, rebased to each row's start
+        glob_off = np.zeros(cpf.shape[0] + 1, dtype=np.int64)
+        np.cumsum(len_flat, out=glob_off[1:])
+        byte_off_flat = glob_off[:-1] - glob_off[starts[:-1]][row_of_unit]
+        # previous unit's last byte, -1 at row starts
+        prev_last_flat = np.empty_like(last_flat)
+        if cpf.size:
+            prev_last_flat[1:] = last_flat[:-1]
+            prev_last_flat[0] = -1
+            prev_last_flat[starts[:-1][unit_counts > 0]] = -1
+        _flat_cache.update(
+            cp=cpf, first=first_flat, prev=prev_last_flat,
+            boff=byte_off_flat, blen=len_flat, glob_off=glob_off,
+        )
+        return _flat_cache
 
-    # previous unit's last byte, -1 at row starts
-    prev_last_flat = np.empty_like(last_flat)
-    if cp_flat.size:
-        prev_last_flat[1:] = last_flat[:-1]
-        prev_last_flat[0] = -1
-        prev_last_flat[starts[:-1][unit_counts > 0]] = -1
+    if unicode:
+        nbytes = native.utf8_lengths(
+            cp_flat.view(np.uint32)
+            if cp_flat.dtype == np.int32 else cp_flat.astype(np.uint32),
+            starts,
+        )
+        if nbytes is None:
+            g = _flat()["glob_off"]
+            nbytes = g[starts[1:]] - g[starts[:-1]]
+    else:
+        nbytes = unit_counts  # bytes == units on the ASCII path
 
     widths = sorted(set(int(w) for w in bucket_widths))
     max_w = widths[-1]
@@ -422,8 +455,6 @@ def pack_corpus(
                 assigned[assigned == bi] = nxt
                 counts_per[nxt] += counts_per[bi]
                 counts_per[bi] = 0
-
-    from . import native
 
     chunks = []
     for bi, w in enumerate(widths):
@@ -477,11 +508,12 @@ def pack_corpus(
             col_idx = np.arange(total, dtype=np.int64) - cum[:-1][unit_rows]
             src = starts[rows][unit_rows] + col_idx
 
-            cp[unit_rows, col_idx] = cp_flat[src]
-            first[unit_rows, col_idx] = first_flat[src]
-            prev[unit_rows, col_idx] = prev_last_flat[src]
-            boff[unit_rows, col_idx] = byte_off_flat[src]
-            blen[unit_rows, col_idx] = len_flat[src]
+            fl = _flat()
+            cp[unit_rows, col_idx] = fl["cp"][src]
+            first[unit_rows, col_idx] = fl["first"][src]
+            prev[unit_rows, col_idx] = fl["prev"][src]
+            boff[unit_rows, col_idx] = fl["boff"][src]
+            blen[unit_rows, col_idx] = fl["blen"][src]
 
         buckets.append(
             PackedBucket(

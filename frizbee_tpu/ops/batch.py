@@ -50,6 +50,18 @@ FUZZY_MODE = "fuzzy"
 # Sort capacities (padded upward per corpus); see _select_sorted
 SORT_CAPS = (8192, 65536, 262144)
 
+# Test hook: force the two-key (wide) result sort regardless of corpus
+# size, so small CPU corpora can exercise the 10M+-row key layout
+_FORCE_WIDE_KEYS = False
+
+# Batched P3 sorts amortize the per-sort floor across Q, but their HLO
+# temps are Q x total x n_operands words; past this element budget
+# (256M elements = 1 GB per int32 operand) the result sort runs per query
+# inside the scan body and only fetch_rows survive to the stack — this is
+# what keeps the in-place fallback compilable at 10M+ rows. Module-level
+# so tests can lower it to exercise the in-body path on small corpora.
+SORT_BODY_BUDGET = 1 << 28
+
 
 def _bucket_pattern_result(
     b, needle_orig, needle_flip, sc,
@@ -312,7 +324,8 @@ def fused_match_sorted_batch(
         and pattern_statics[0][4] == FUZZY_MODE
         and not pattern_statics[0][2]  # not negated
         and score_bound is not None
-        and score_bound.bit_length() + max((n - 1).bit_length(), 1) <= 31
+        # any corpus size: the fast path switches to a two-key result
+        # sort when score and index no longer co-pack into one int32
     )
     if fast:
         return _fused_match_batch_fast(
@@ -382,6 +395,13 @@ def _fused_match_batch_fast(
 
     idx_bits = max((n - 1).bit_length(), 1)
     idx_mask = (1 << idx_bits) - 1
+    # Result ordering key: score and index co-pack into one int32 word
+    # when they fit (one-operand P3 sort); corpora too large for that
+    # (score_bits + idx_bits > 31, e.g. 10M+ rows) use a two-key sort
+    # (-score, index) instead of falling off the fast path entirely.
+    wide_keys = (
+        score_bound.bit_length() + idx_bits > 31 or _FORCE_WIDE_KEYS
+    )
     needles_q = jnp.concatenate([orig_q, flip_q], axis=1).astype(jnp.int32)
 
     if not buckets:
@@ -419,15 +439,56 @@ def _fused_match_batch_fast(
             matched & (out8[:, 4] > 0),
             jnp.where(matched, out8[:, 3], 0),
         )
+        cnt = jnp.sum(matched).astype(jnp.int32)
+        if wide_keys:
+            skey = jnp.where(matched, -score, 1).astype(jnp.int32)
+            ikey = jnp.where(matched, idx, INT32_MAX).astype(jnp.int32)
+            return (skey, ikey), meta, cnt
         comp = (score << idx_bits) | (idx_mask - idx)
         key = jnp.where(matched, -comp, INT32_MAX).astype(jnp.int32)
-        return key, meta, jnp.sum(matched).astype(jnp.int32)
+        return (key,), meta, cnt
 
-    def finalize(keys, metas, counts):
-        # P3: one batched two-operand sort, then decode [index, meta] rows
-        keys, metas = jax.lax.sort((keys, metas), dimension=1, num_keys=1)
-        comp = -keys
-        index = idx_mask - (comp & idx_mask)
+    def cat_keys(keys):
+        """Concatenate per-bucket key tuples component-wise."""
+        return tuple(
+            jnp.concatenate([k[c] for k in keys])
+            for c in range(len(keys[0]))
+        )
+
+    def body_reduce(keys, metas, counts, total):
+        """Per-scan-iteration reduction: concat bucket pieces, and sort+
+        slice in-body when the batched finalize sort would blow HBM."""
+        kc = cat_keys(keys)
+        mc = jnp.concatenate(metas)
+        cnt = jnp.sum(jnp.stack(counts))
+        if Q * total > SORT_BODY_BUDGET:
+            ops = jax.lax.sort(
+                (*kc, mc), dimension=0, num_keys=len(kc),
+                is_stable=False,
+            )
+            kc = tuple(o[:fetch_rows] for o in ops[:-1])
+            mc = ops[-1][:fetch_rows]
+        return kc, mc, cnt
+
+    def finalize(keys, metas, counts, presorted):
+        # P3: one batched multi-operand sort (skipped when the scan body
+        # already sorted per query), then decode [index, meta] rows.
+        # keys is a 1-tuple (packed word) or 2-tuple (-score, index);
+        # keys embed the unique row index, so the order is total and the
+        # sort need not be stable (stability would add an iota operand).
+        if presorted:
+            ops = (*keys, metas)
+        else:
+            ops = jax.lax.sort(
+                (*keys, metas), dimension=1, num_keys=len(keys),
+                is_stable=False,
+            )
+        metas = ops[-1]
+        if wide_keys:
+            index = ops[1]
+        else:
+            comp = -ops[0]
+            index = idx_mask - (comp & idx_mask)
         rows = jnp.stack([index, metas], axis=2)[:, :fetch_rows]
         if rows.shape[1] < fetch_rows:
             rows = jnp.pad(
@@ -440,6 +501,8 @@ def _fused_match_batch_fast(
         return jnp.concatenate([header, rows], axis=1)
 
     def in_place_flow(perms, survivors):
+        total = sum(b[0].shape[0] for b in buckets)
+
         def body(carry, xs):
             needle_q = xs[0]
             keys, metas, counts = [], [], []
@@ -452,15 +515,13 @@ def _fused_match_batch_fast(
                 keys.append(key)
                 metas.append(meta)
                 counts.append(cnt)
-            return carry, (
-                jnp.concatenate(keys), jnp.concatenate(metas),
-                jnp.sum(jnp.stack(counts)),
-            )
+            return carry, body_reduce(keys, metas, counts, total)
 
         _, (keys, metas, counts) = jax.lax.scan(
             body, jnp.int32(0), (needles_q,)
         )
-        return finalize(keys, metas, counts)
+        return finalize(keys, metas, counts,
+                        presorted=Q * total > SORT_BODY_BUDGET)
 
     def compacted_flow(div, perms, survivors):
         # perms: per bucket (Q, B_b) packed keys; survivors: (Q, n_buckets)
@@ -490,15 +551,17 @@ def _fused_match_batch_fast(
                 keys.append(key)
                 metas.append(meta)
                 counts.append(mcnt)
-            return carry, (
-                jnp.concatenate(keys), jnp.concatenate(metas),
-                jnp.sum(jnp.stack(counts)),
-            )
+            return carry, body_reduce(keys, metas, counts, total)
 
+        total = sum(
+            _bucket_cap(b[0].shape[0], b[0].shape[1], div)
+            for b in buckets
+        )
         _, (keys, metas, counts) = jax.lax.scan(
             body, jnp.int32(0), (needles_q, perms, survivors)
         )
-        return finalize(keys, metas, counts)
+        return finalize(keys, metas, counts,
+                        presorted=Q * total > SORT_BODY_BUDGET)
 
     if not use_stage1:
         return in_place_flow(None, None)

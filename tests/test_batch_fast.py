@@ -135,6 +135,56 @@ def test_async_batch_equals_sync(corpus_partial):
     assert futs[0].result() is futs[0].result()
 
 
+def test_in_body_sort_parity():
+    """When the batched P3 sort would exceed the HBM budget (10M+ rows),
+    the result sort runs per query inside the scan body. Lower the budget
+    so a small corpus takes that path, and pin parity with the oracle —
+    including the in-place flow (all-match corpus)."""
+    import jax
+
+    import frizbee_tpu.ops.batch as ob
+
+    hay = partial_match_corpus(median_length=24, num_samples=5200, seed=19)
+    corpus = pack_corpus(hay, unicode=False)
+    old = ob.SORT_BODY_BUDGET
+    ob.SORT_BODY_BUDGET = 1024
+    jax.clear_caches()
+    try:
+        _assert_query_parity(corpus, ["deadbeef", "dbef"], Config())
+        _assert_query_parity(corpus, ["deadbeef"], Config(), k=30)
+        # capacity-miss -> in-place flow, also with the in-body sort
+        hay2 = all_match_corpus(median_length=24, num_samples=5200, seed=20)
+        _assert_query_parity(
+            pack_corpus(hay2, unicode=False), ["deadbeef"], Config()
+        )
+    finally:
+        ob.SORT_BODY_BUDGET = old
+        jax.clear_caches()
+
+
+def test_wide_result_keys_parity():
+    """Corpora too large for the packed one-word result key (10M+ rows:
+    score_bits + idx_bits > 31) switch to a two-key (-score, index) sort.
+    Force that layout on a small corpus and pin parity with the oracle.
+    Uses a distinct corpus size class so the forced trace can't hit a
+    cached narrow-key program."""
+    import jax
+
+    import frizbee_tpu.ops.batch as ob
+
+    hay = partial_match_corpus(median_length=24, num_samples=6800, seed=17)
+    corpus = pack_corpus(hay, unicode=False)
+    ob._FORCE_WIDE_KEYS = True
+    jax.clear_caches()
+    try:
+        _assert_query_parity(corpus, ["deadbeef", "dbef", "eadb"],
+                             Config())
+        _assert_query_parity(corpus, ["deadbeef"], Config(), k=40)
+    finally:
+        ob._FORCE_WIDE_KEYS = False
+        jax.clear_caches()
+
+
 def test_fast_empty_batch_short_circuit():
     """A batch where no query has any stage-1 survivor must produce empty
     results through the short-circuit flow, identically to the oracle."""
