@@ -168,15 +168,20 @@ def _select_sorted(matched, score, exact, end_col, greedy, index,
 
     def sort_cap(cap):
         if composite:
-            k2, m2 = jax.lax.sort((key_p[:cap], meta_p[:cap]), num_keys=1)
+            k2, m2 = jax.lax.sort(
+                (key_p[:cap], meta_p[:cap]), num_keys=1, is_stable=False
+            )
             comp2 = -k2
             i2 = idx_mask - (comp2 & idx_mask)
         elif sort_by_score:
             k2, i2, m2 = jax.lax.sort(
-                (key_p[:cap], idx_p[:cap], meta_p[:cap]), num_keys=2
+                (key_p[:cap], idx_p[:cap], meta_p[:cap]), num_keys=2,
+                is_stable=False,
             )
         else:
-            i2, m2 = jax.lax.sort((key_p[:cap], meta_p[:cap]), num_keys=1)
+            i2, m2 = jax.lax.sort(
+                (key_p[:cap], meta_p[:cap]), num_keys=1, is_stable=False
+            )
         head = jnp.stack([i2, m2], axis=1)
         if cap < B:
             tail = jnp.stack([idx_p[cap:], meta_p[cap:]], axis=1)
@@ -603,7 +608,11 @@ def _fused_match_batch_fast(
                 s1_cols[bi], keyb[:, None],
                 keyb[:, None] | (1 << (bbits + W.bit_length())),
             )
-            perms.append(jax.lax.sort(key.T, dimension=1))  # (Q, B)
+            # keys embed the row iota -> already a total order; an
+            # unstable sort is ~2x cheaper on this backend
+            perms.append(
+                jax.lax.sort(key.T, dimension=1, is_stable=False)
+            )  # (Q, B)
 
         # Tiered capacity switch: the row gather costs ~21 ns/row whether
         # or not a row survived, so low-survivor batches (stricter

@@ -87,7 +87,7 @@ def _local_match_topk(
     # a window-capped approximation), so the flag can't be dropped here
     aux = (exact.astype(jnp.int32) << 1) | needs_greedy.astype(jnp.int32)
     key1, key2, score, aux, end_col = jax.lax.sort(
-        (key1, key2, score, aux, end_col), num_keys=2
+        (key1, key2, score, aux, end_col), num_keys=2, is_stable=False
     )
     k = min(k, key1.shape[0])
     return key1[:k], key2[:k], score[:k], aux[:k], end_col[:k]
@@ -99,6 +99,7 @@ def _merge_topk(key1, key2, score, aux, end_col, k):
         (key1.ravel(), key2.ravel(), score.ravel(), aux.ravel(),
          end_col.ravel()),
         num_keys=2,
+        is_stable=False,
     )
     k = min(k, key1.shape[0])
     matched = key2[:k] != PAD_INDEX
