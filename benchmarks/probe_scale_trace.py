@@ -22,7 +22,8 @@ from frizbee_tpu.matcher import (
     Matcher, match_topk_batch, match_topk_batch_async,
 )
 
-M = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+_nums = [a for a in sys.argv[1:] if a.isdigit()]
+M = int(_nums[0]) if _nums else 10
 TRACE = "--trace" in sys.argv
 N = M * 1_000_000
 K = 2048

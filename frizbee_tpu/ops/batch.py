@@ -55,12 +55,23 @@ SORT_CAPS = (8192, 65536, 262144)
 _FORCE_WIDE_KEYS = False
 
 # Batched P3 sorts amortize the per-sort floor across Q, but their HLO
-# temps are Q x total x n_operands words; past this element budget
-# (256M elements = 1 GB per int32 operand) the result sort runs per query
-# inside the scan body and only fetch_rows survive to the stack — this is
-# what keeps the in-place fallback compilable at 10M+ rows. Module-level
-# so tests can lower it to exercise the in-body path on small corpora.
-SORT_BODY_BUDGET = 1 << 28
+# temps scale with Q x total x n_operands; past this TOTAL-element budget
+# (512M elements = 2 GB of int32 across all operands) the result sort
+# runs per query inside the scan body and only fetch_rows survive to the
+# stack — this is what keeps the in-place fallback compilable at 10M+
+# rows. Module-level so tests can lower it to exercise the in-body path
+# on small corpora.
+SORT_BODY_BUDGET = 1 << 29
+
+
+def order_keys(matched, score, index):
+    """(primary, secondary) ascending-sort keys realizing (matched first,
+    score desc, index asc); unmatched rows sort last as (1, INT32_MAX).
+    Shared by the batch fast path's wide result keys and the mesh top-k
+    (parallel.py) so the two orders can never diverge."""
+    neg_score = jnp.where(matched, -score, 1)
+    idx = jnp.where(matched, index, INT32_MAX)
+    return neg_score.astype(jnp.int32), idx.astype(jnp.int32)
 
 
 def _bucket_pattern_result(
@@ -446,9 +457,7 @@ def _fused_match_batch_fast(
         )
         cnt = jnp.sum(matched).astype(jnp.int32)
         if wide_keys:
-            skey = jnp.where(matched, -score, 1).astype(jnp.int32)
-            ikey = jnp.where(matched, idx, INT32_MAX).astype(jnp.int32)
-            return (skey, ikey), meta, cnt
+            return order_keys(matched, score, idx), meta, cnt
         comp = (score << idx_bits) | (idx_mask - idx)
         key = jnp.where(matched, -comp, INT32_MAX).astype(jnp.int32)
         return (key,), meta, cnt
@@ -460,13 +469,23 @@ def _fused_match_batch_fast(
             for c in range(len(keys[0]))
         )
 
+    # one key operand (packed) or two (wide) + the meta payload
+    n_sort_ops = 3 if wide_keys else 2
+
+    def sort_in_body(total):
+        """True when the batched finalize sort's operands would exceed
+        the HBM budget — the single predicate both body_reduce and the
+        finalize callers consult (they must agree: finalize skips the
+        sort exactly when the body already did it)."""
+        return Q * total * n_sort_ops > SORT_BODY_BUDGET
+
     def body_reduce(keys, metas, counts, total):
         """Per-scan-iteration reduction: concat bucket pieces, and sort+
         slice in-body when the batched finalize sort would blow HBM."""
         kc = cat_keys(keys)
         mc = jnp.concatenate(metas)
         cnt = jnp.sum(jnp.stack(counts))
-        if Q * total > SORT_BODY_BUDGET:
+        if sort_in_body(total):
             ops = jax.lax.sort(
                 (*kc, mc), dimension=0, num_keys=len(kc),
                 is_stable=False,
@@ -525,8 +544,7 @@ def _fused_match_batch_fast(
         _, (keys, metas, counts) = jax.lax.scan(
             body, jnp.int32(0), (needles_q,)
         )
-        return finalize(keys, metas, counts,
-                        presorted=Q * total > SORT_BODY_BUDGET)
+        return finalize(keys, metas, counts, presorted=sort_in_body(total))
 
     def compacted_flow(div, perms, survivors):
         # perms: per bucket (Q, B_b) packed keys; survivors: (Q, n_buckets)
@@ -565,8 +583,7 @@ def _fused_match_batch_fast(
         _, (keys, metas, counts) = jax.lax.scan(
             body, jnp.int32(0), (needles_q, perms, survivors)
         )
-        return finalize(keys, metas, counts,
-                        presorted=Q * total > SORT_BODY_BUDGET)
+        return finalize(keys, metas, counts, presorted=sort_in_body(total))
 
     if not use_stage1:
         return in_place_flow(None, None)

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .ops.batch import order_keys as _order_keys
 from .ops.fuzzy import fuzzy_pipeline
 
 DATA_AXIS = "data"
@@ -61,12 +62,10 @@ def initialize_distributed(**kwargs) -> Mesh:
     return make_mesh()
 
 
-def _order_keys(matched, score, index):
-    """(primary, secondary) ascending-sort keys realizing
-    (matched first, score desc, index asc)."""
-    neg_score = jnp.where(matched, -score, 1)  # unmatched after all matched
-    idx = jnp.where(matched, index, PAD_INDEX)
-    return neg_score.astype(jnp.int32), idx.astype(jnp.int32)
+# _order_keys (imported above from ops/batch.order_keys): (primary,
+# secondary) ascending-sort keys realizing (matched first, score desc,
+# index asc) — shared with the batch path's wide result keys so the two
+# orders can never diverge; the unmatched sentinel INT32_MAX == PAD_INDEX
 
 
 def _local_match_topk(

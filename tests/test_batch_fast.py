@@ -147,9 +147,9 @@ def test_in_body_sort_parity():
     hay = partial_match_corpus(median_length=24, num_samples=5200, seed=19)
     corpus = pack_corpus(hay, unicode=False)
     old = ob.SORT_BODY_BUDGET
-    ob.SORT_BODY_BUDGET = 1024
-    jax.clear_caches()
     try:
+        ob.SORT_BODY_BUDGET = 1024
+        jax.clear_caches()
         _assert_query_parity(corpus, ["deadbeef", "dbef"], Config())
         _assert_query_parity(corpus, ["deadbeef"], Config(), k=30)
         # capacity-miss -> in-place flow, also with the in-body sort
@@ -157,8 +157,14 @@ def test_in_body_sort_parity():
         _assert_query_parity(
             pack_corpus(hay2, unicode=False), ["deadbeef"], Config()
         )
+        # the real 10M-row configuration: wide keys AND in-body sort at
+        # once (the presorted+wide finalize decode)
+        ob._FORCE_WIDE_KEYS = True
+        jax.clear_caches()
+        _assert_query_parity(corpus, ["deadbeef", "eadb"], Config(), k=25)
     finally:
         ob.SORT_BODY_BUDGET = old
+        ob._FORCE_WIDE_KEYS = False
         jax.clear_caches()
 
 
@@ -174,9 +180,9 @@ def test_wide_result_keys_parity():
 
     hay = partial_match_corpus(median_length=24, num_samples=6800, seed=17)
     corpus = pack_corpus(hay, unicode=False)
-    ob._FORCE_WIDE_KEYS = True
-    jax.clear_caches()
     try:
+        ob._FORCE_WIDE_KEYS = True
+        jax.clear_caches()
         _assert_query_parity(corpus, ["deadbeef", "dbef", "eadb"],
                              Config())
         _assert_query_parity(corpus, ["deadbeef"], Config(), k=40)
