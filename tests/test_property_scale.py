@@ -15,6 +15,7 @@ minutes range on the CPU backend.
 
 import random
 
+import jax
 import numpy as np
 import pytest
 
@@ -26,6 +27,16 @@ ALPHABET = "abcdeABC_/. é다01"
 NEEDLE_ALPHA = "abcdeéA_d. 01"
 
 pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(autouse=True)
+def _clear_caches_per_block():
+    """These blocks compile many program shapes inside one module; XLA's
+    CPU backend segfaults in backend_compile once enough executables
+    accumulate in one process (see conftest's per-module clearing — the
+    same failure, here at per-test granularity)."""
+    yield
+    jax.clear_caches()
 
 
 def gen_corpus(rng, n, max_len=40):
