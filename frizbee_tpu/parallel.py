@@ -24,6 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .ops.batch import order_keys as _order_keys
 from .ops.fuzzy import fuzzy_pipeline
+from .ops.kernels import fuzzy_match_units
 
 DATA_AXIS = "data"
 
@@ -248,3 +249,254 @@ def match_corpus_sharded(
     end_col = np.concatenate([p[3] for p in parts])
     order = np.lexsort((index, -score))[:k]
     return index[order], score[order], exact[order], end_col[order]
+
+
+# -- batched (multi-query) sharded serving -----------------------------------
+
+
+def _pad_kernel_bucket_for_mesh(bucket, n_shards: int, unicode: bool):
+    """Mesh-pad a bucket's kernel-path arrays (rows padded to a multiple
+    of the shard count): zero units, -1 indices (can never match), zero
+    presence masks. Returns (cp, n_units, indices, mask4) jnp arrays."""
+    arrs = (
+        bucket.device_arrays_units()
+        if unicode
+        else bucket.device_arrays_ascii()
+    )
+    cp, nu, idx, mask4, _bits8 = arrs
+    pad = (-cp.shape[0]) % n_shards
+    if pad:
+        cp = jnp.pad(cp, ((0, pad), (0, 0)))
+        nu = jnp.pad(nu, ((0, pad), (0, 0)))
+        idx = jnp.pad(idx, (0, pad), constant_values=-1)
+        mask4 = jnp.pad(mask4, ((0, pad), (0, 0)))
+    return cp, nu, idx, mask4
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "max_typos", "no_prefilter", "unicode", "scoring", "k",
+    ),
+)
+def sharded_batch_topk(
+    cp, n_units, row_index, mask4, needles_q,
+    *, mesh: Mesh, max_typos: int, no_prefilter: bool, unicode: bool,
+    scoring: Tuple[int, ...], k: int,
+):
+    """Q-query mesh-sharded bucket top-k: the multi-chip form of the
+    single-chip serving fast path (ops/batch._fused_match_batch_fast).
+
+    The bucket's kernel arrays are sharded data-parallel over ``mesh``;
+    each device scans the Q stacked needles through the fused stage-1 +
+    prefilter + Smith-Waterman kernel path (ops/kernels.fuzzy_match_units
+    — the same kernels the single-chip path runs), sorts its local rows
+    by the shared global order key (ops/batch.order_keys), and keeps a
+    local top-k per query. Exact per-query match counts ``psum`` over the
+    mesh; local top-ks ``all_gather`` over ICI and merge with one
+    replicated sort — because keys embed the unique global row index the
+    merged order is total, so the result is identical to the sequential
+    one (the reference's parallel==sequential property,
+    tests/api_properties.rs:79-114).
+
+    Inputs: cp (B, W) units, n_units (B, 1), row_index (B,) with -1 on
+    padding rows, mask4 (B, 4) presence masks — B a multiple of the mesh
+    size — and needles_q (Q, 2n) stacked [orig | flip] needles,
+    replicated. Returns replicated (counts (Q,), index (Q, k), score,
+    exact, end_col, needs_greedy); index -1 marks empty slots. Rows
+    flagged needs_greedy carry window-capped device scores and must be
+    host-rescored (match_topk_batch_sharded does).
+    """
+
+    def shard_fn(cp, nu, idx, mask4, needles_q):
+        kk = min(k, cp.shape[0])
+
+        def body(carry, needle_q):
+            m, s, e, ec, g = fuzzy_match_units(
+                cp, nu, needle_q, max_typos=max_typos,
+                no_prefilter=no_prefilter, scoring=scoring,
+                unicode=unicode, mask4=mask4,
+            )
+            matched = m & (idx >= 0)
+            key1, key2 = _order_keys(matched, s, idx)
+            aux = (e.astype(jnp.int32) << 1) | g.astype(jnp.int32)
+            # keys embed the unique row index -> total order, so the
+            # sort need not be stable; score rides key1 (= -score on
+            # matched rows) and is recovered after the merge
+            key1, key2, aux, ec = jax.lax.sort(
+                (key1, key2, aux, ec), num_keys=2, is_stable=False
+            )
+            cnt = jnp.sum(matched).astype(jnp.int32)
+            if kk < k:  # shard smaller than k: pad with unmatched slots
+                key1 = jnp.pad(key1[:kk], (0, k - kk), constant_values=1)
+                key2 = jnp.pad(
+                    key2[:kk], (0, k - kk), constant_values=PAD_INDEX
+                )
+                aux = jnp.pad(aux[:kk], (0, k - kk))
+                ec = jnp.pad(ec[:kk], (0, k - kk))
+            else:
+                key1, key2, aux, ec = key1[:k], key2[:k], aux[:k], ec[:k]
+            return carry, (key1, key2, aux, ec, cnt)
+
+        _, (key1, key2, aux, ec, cnt) = jax.lax.scan(
+            body, jnp.int32(0), needles_q
+        )
+        counts = jax.lax.psum(cnt, DATA_AXIS)
+        gathered = jax.lax.all_gather(
+            (key1, key2, aux, ec), DATA_AXIS, tiled=False
+        )  # each (shards, Q, k)
+        q = needles_q.shape[0]
+        ops = tuple(
+            jnp.swapaxes(x, 0, 1).reshape(q, -1) for x in gathered
+        )
+        k1m, k2m, auxm, ecm = jax.lax.sort(
+            ops, dimension=1, num_keys=2, is_stable=False
+        )
+        return counts, k1m[:, :k], k2m[:, :k], auxm[:, :k], ecm[:, :k]
+
+    shard = P(DATA_AXIS)
+    repl = P()
+    counts, key1, key2, aux, ec = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(shard, shard, shard, shard, repl),
+        out_specs=(repl,) * 5,
+        check_vma=False,
+    )(cp, n_units, row_index, mask4, needles_q)
+    matched = key2 != PAD_INDEX
+    index = jnp.where(matched, key2, -1)
+    score = jnp.where(matched, -key1, 0)
+    exact = matched & ((aux >> 1) == 1)
+    greedy = matched & ((aux & 1) == 1)
+    return counts, index, score, exact, ec, greedy
+
+
+def match_topk_batch_sharded(
+    queries, corpus, mesh: Mesh, config=None, k: int = 64
+):
+    """Multi-query mesh-sharded top-k serving: the multi-chip form of
+    ``matcher.match_topk_batch``. Q queries run against a corpus sharded
+    data-parallel over ``mesh``, one device program per (bucket, query
+    group); each returns ``(total_count, index, score, exact, end_col)``
+    with at most ``k`` rows in (score desc, index asc) order — content
+    identical to the single-device serving path (test-pinned).
+
+    Queries the sharded kernel path can't serve (multi-pattern, literal
+    modes, negation, empty or unit-mode-mismatched needles, non-default
+    sort) fall back to the single-device path transparently, like
+    ``match_arrays_batch`` does. Greedy/XL rows are host-rescored per
+    query, exactly as ``match_corpus_sharded`` does.
+    """
+    from .config import Config, SortStrategy
+    from .corpus import Corpus, pack_corpus
+    from .matcher import Matcher
+
+    config = config or Config()
+    matchers = [
+        q if isinstance(q, Matcher) else Matcher.from_query(q, config)
+        for q in queries
+    ]
+    if not isinstance(corpus, Corpus):
+        unicode = any(
+            cp.engine.unicode for m in matchers for cp in m._compiled
+        )
+        corpus = pack_corpus(corpus, unicode=unicode)
+    n_shards = int(mesh.devices.size)
+
+    groups = {}
+    results = [None] * len(matchers)
+    for i, m in enumerate(matchers):
+        if not (
+            m._fused_supported()
+            and len(m._compiled) == 1
+            and not m._compiled[0].negated
+            and m._compiled[0].config.matching.is_fuzzy
+            and m._compiled[0].engine.unicode == corpus.unicode
+            and m._config.sort == SortStrategy.SCORE_THEN_INDEX_ASC
+        ):
+            continue
+        _b, _p, statics, use_kernel, _bst = m._fused_device_args(corpus)
+        if not use_kernel:
+            continue
+        n_len = len(m._compiled[0].engine.units.orig)
+        groups.setdefault((statics[0], n_len), []).append(i)
+
+    repl_sh = NamedSharding(mesh, P())
+    shard_sh = NamedSharding(mesh, P(DATA_AXIS))
+    for (statics, _n_len), members in groups.items():
+        typos, nopre, _neg, scoring, _mode, _nbl = statics
+        needles = np.stack([
+            np.concatenate(
+                matchers[i]._compiled[0].engine._host_needle()[:2]
+            )
+            for i in members
+        ]).astype(np.int32)
+        needles_d = jax.device_put(needles, repl_sh)
+        per_bucket = []
+        for bucket in corpus.buckets:
+            arrs = _pad_kernel_bucket_for_mesh(
+                bucket, n_shards, corpus.unicode
+            )
+            out = sharded_batch_topk(
+                *[jax.device_put(a, shard_sh) for a in arrs],
+                needles_d,
+                mesh=mesh, max_typos=typos, no_prefilter=nopre,
+                unicode=corpus.unicode, scoring=scoring, k=k,
+            )
+            per_bucket.append([np.asarray(x) for x in out])
+
+        for qi, i in enumerate(members):
+            engine = matchers[i]._compiled[0].engine
+            parts, count = [], 0
+            for counts, index, score, exact, ec, greedy in per_bucket:
+                count += int(counts[qi])
+                sel = index[qi] >= 0
+                bi = index[qi][sel].astype(np.int64)
+                bs = score[qi][sel].astype(np.int64)
+                be = exact[qi][sel].astype(bool)
+                bec = ec[qi][sel].astype(np.int64)
+                bg = greedy[qi][sel]
+                keep = np.ones(len(bi), bool)
+                for j in np.nonzero(bg)[0]:
+                    mm = engine.match_one(
+                        corpus.haystacks[int(bi[j])], int(bi[j])
+                    )
+                    if mm is None:
+                        keep[j] = False
+                    else:
+                        bs[j], be[j], bec[j] = mm.score, mm.exact, mm.end_col
+                # keep the exact total in sync with the rescore delta,
+                # as the single-device _finalize_topk does
+                count += int(keep.sum()) - len(bi)
+                parts.append((bi[keep], bs[keep], be[keep], bec[keep]))
+            for xi in corpus.xl_indices:
+                mm = engine.match_one(corpus.haystacks[int(xi)], int(xi))
+                if mm is not None:
+                    count += 1
+                    parts.append((
+                        np.array([mm.index], np.int64),
+                        np.array([mm.score], np.int64),
+                        np.array([mm.exact], bool),
+                        np.array([mm.end_col], np.int64),
+                    ))
+            if parts:
+                index = np.concatenate([p[0] for p in parts])
+                score = np.concatenate([p[1] for p in parts])
+                exact = np.concatenate([p[2] for p in parts])
+                end_col = np.concatenate([p[3] for p in parts])
+            else:
+                index = score = end_col = np.zeros(0, np.int64)
+                exact = np.zeros(0, bool)
+            order = np.lexsort((index, -score))[:k]
+            results[i] = (
+                count, index[order], score[order], exact[order],
+                end_col[order],
+            )
+
+    for i, m in enumerate(matchers):
+        if results[i] is None:  # single-device fallback
+            index, score, exact, end_col = m.match_arrays(corpus)
+            results[i] = (
+                len(index), index[:k], score[:k], exact[:k], end_col[:k]
+            )
+    return results

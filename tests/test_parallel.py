@@ -111,3 +111,83 @@ def test_mesh_greedy_rows_rescored():
     np.testing.assert_array_equal(index, seq[0][:16])
     np.testing.assert_array_equal(score, seq[1][:16])
     np.testing.assert_array_equal(end_col, seq[3][:16])
+
+
+def _assert_topk_equal(got, want):
+    assert len(got) == len(want)
+    for (gc, gi, gs, ge, gec), (wc, wi, ws, we, wec) in zip(got, want):
+        assert gc == wc
+        np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+        np.testing.assert_array_equal(np.asarray(gs), np.asarray(ws))
+        np.testing.assert_array_equal(
+            np.asarray(ge, bool), np.asarray(we, bool)
+        )
+        np.testing.assert_array_equal(np.asarray(gec), np.asarray(wec))
+
+
+def test_mesh_batch_topk_equals_single_device(corpus_small):
+    """Q-query sharded serving == the single-device serving path
+    (counts and rows), across shard counts."""
+    import jax
+
+    from frizbee_tpu.matcher import match_topk_batch
+    from frizbee_tpu.parallel import make_mesh, match_topk_batch_sharded
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multiple devices")
+    corpus = pack_corpus(corpus_small, unicode=False)
+    queries = ["deadbeef", "dead", "beef", "zqzqzq"]
+    cfg = Config()
+    want = match_topk_batch(queries, corpus, cfg, k=16)
+    for n in (2, 4):
+        got = match_topk_batch_sharded(
+            queries, corpus, make_mesh(n), cfg, k=16
+        )
+        _assert_topk_equal(got, want)
+
+
+def test_mesh_batch_topk_typos_and_fallback(corpus_small):
+    """Typo configs ride the sharded kernel path; multi-pattern and
+    literal queries fall back to the single-device path — results match
+    match_topk_batch either way."""
+    import jax
+
+    from frizbee_tpu.matcher import Matcher, match_topk_batch
+    from frizbee_tpu.parallel import make_mesh, match_topk_batch_sharded
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multiple devices")
+    corpus = pack_corpus(corpus_small, unicode=False)
+    cfg = Config(max_typos=1)
+    queries = [
+        Matcher("dead", cfg),
+        Matcher.from_query("dead !beef", cfg),   # multi-pattern: fallback
+        Matcher.from_query("'dead", cfg),        # literal: fallback
+    ]
+    want = match_topk_batch(queries, corpus, cfg, k=12)
+    got = match_topk_batch_sharded(queries, corpus, make_mesh(4), cfg, k=12)
+    _assert_topk_equal(got, want)
+
+
+def test_mesh_batch_topk_unicode_greedy():
+    """Unicode sharded batch serving, including greedy (window > DP cap)
+    rows that need host rescoring and an XL row."""
+    import jax
+
+    from frizbee_tpu.matcher import match_topk_batch
+    from frizbee_tpu.parallel import make_mesh, match_topk_batch_sharded
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multiple devices")
+    hay = (
+        ["linux kernel", "nope", "l" + "ل" * 600 + "inux"]
+        + ["لinuلx" + "ل" * 600]
+        + ["linux" + "x" * 1100]  # XL row (over the widest bucket)
+        + ["filler%d" % i for i in range(12)]
+    )
+    cfg = Config()
+    corpus = pack_corpus(hay, unicode=True)
+    queries = ["linux", "kernel"]
+    want = match_topk_batch(queries, corpus, cfg, k=16)
+    got = match_topk_batch_sharded(queries, corpus, make_mesh(4), cfg, k=16)
+    _assert_topk_equal(got, want)
