@@ -81,6 +81,7 @@ __all__ = [
     "match_list",
     "match_topk_batch",
     "match_topk_batch_async",
+    "match_topk_batch_sharded",
     "match_list_indices",
     "match_list_parallel",
     "sort_matches",
@@ -104,4 +105,8 @@ def __getattr__(name):
         from .sort import sort_matches
 
         return sort_matches
+    if name == "match_topk_batch_sharded":
+        from .parallel import match_topk_batch_sharded
+
+        return match_topk_batch_sharded
     raise AttributeError(f"module 'frizbee_tpu' has no attribute {name!r}")
