@@ -384,23 +384,15 @@ def match_topk_batch_sharded(
     Queries the sharded kernel path can't serve (multi-pattern, literal
     modes, negation, empty or unit-mode-mismatched needles, non-default
     sort) fall back to the single-device path transparently, like
-    ``match_arrays_batch`` does. Greedy/XL rows are host-rescored per
-    query, exactly as ``match_corpus_sharded`` does.
+    ``match_arrays_batch`` does. Greedy/XL rows are handled by the same
+    ``_host_fixups`` the single-device serving path runs, applied to the
+    same globally-ordered fetched set, so the outputs can't diverge.
     """
     from .config import Config, SortStrategy
-    from .corpus import Corpus, pack_corpus
-    from .matcher import Matcher
+    from .matcher import _finalize_topk, _resolve_batch
 
     config = config or Config()
-    matchers = [
-        q if isinstance(q, Matcher) else Matcher.from_query(q, config)
-        for q in queries
-    ]
-    if not isinstance(corpus, Corpus):
-        unicode = any(
-            cp.engine.unicode for m in matchers for cp in m._compiled
-        )
-        corpus = pack_corpus(corpus, unicode=unicode)
+    matchers, corpus = _resolve_batch(queries, corpus, config)
     n_shards = int(mesh.devices.size)
 
     groups = {}
@@ -423,6 +415,19 @@ def match_topk_batch_sharded(
 
     repl_sh = NamedSharding(mesh, P())
     shard_sh = NamedSharding(mesh, P(DATA_AXIS))
+    # Mesh-pad + shard each bucket once (group-independent), and dispatch
+    # every (group, bucket) program before fetching anything: each fetch
+    # pays a host-link round trip, so all device work launches first
+    sharded_buckets = [
+        [
+            jax.device_put(a, shard_sh)
+            for a in _pad_kernel_bucket_for_mesh(
+                bucket, n_shards, corpus.unicode
+            )
+        ]
+        for bucket in (corpus.buckets if groups else [])
+    ]
+    pending = []
     for (statics, _n_len), members in groups.items():
         typos, nopre, _neg, scoring, _mode, _nbl = statics
         needles = np.stack([
@@ -433,70 +438,66 @@ def match_topk_batch_sharded(
         ]).astype(np.int32)
         needles_d = jax.device_put(needles, repl_sh)
         per_bucket = []
-        for bucket in corpus.buckets:
-            arrs = _pad_kernel_bucket_for_mesh(
-                bucket, n_shards, corpus.unicode
-            )
+        for arrs in sharded_buckets:
             out = sharded_batch_topk(
-                *[jax.device_put(a, shard_sh) for a in arrs],
-                needles_d,
+                *arrs, needles_d,
                 mesh=mesh, max_typos=typos, no_prefilter=nopre,
                 unicode=corpus.unicode, scoring=scoring, k=k,
             )
-            per_bucket.append([np.asarray(x) for x in out])
+            for x in out:
+                try:
+                    x.copy_to_host_async()
+                except AttributeError:
+                    pass
+            per_bucket.append(out)
+        pending.append((members, per_bucket))
 
+    kfetch = min(k, len(corpus))
+    for members, per_bucket in pending:
+        per_bucket = [[np.asarray(x) for x in out] for out in per_bucket]
         for qi, i in enumerate(members):
-            engine = matchers[i]._compiled[0].engine
-            parts, count = [], 0
+            # Merge per-bucket candidates into the globally-ordered
+            # fetched set (per-bucket top-k is a superset of each
+            # bucket's members of the global top-k), then hand it to the
+            # same host fixups the single-device serving path applies —
+            # greedy rescoring and (presence-gated) XL rows included
+            count, parts = 0, []
             for counts, index, score, exact, ec, greedy in per_bucket:
                 count += int(counts[qi])
                 sel = index[qi] >= 0
-                bi = index[qi][sel].astype(np.int64)
-                bs = score[qi][sel].astype(np.int64)
-                be = exact[qi][sel].astype(bool)
-                bec = ec[qi][sel].astype(np.int64)
-                bg = greedy[qi][sel]
-                keep = np.ones(len(bi), bool)
-                for j in np.nonzero(bg)[0]:
-                    mm = engine.match_one(
-                        corpus.haystacks[int(bi[j])], int(bi[j])
-                    )
-                    if mm is None:
-                        keep[j] = False
-                    else:
-                        bs[j], be[j], bec[j] = mm.score, mm.exact, mm.end_col
-                # keep the exact total in sync with the rescore delta,
-                # as the single-device _finalize_topk does
-                count += int(keep.sum()) - len(bi)
-                parts.append((bi[keep], bs[keep], be[keep], bec[keep]))
-            for xi in corpus.xl_indices:
-                mm = engine.match_one(corpus.haystacks[int(xi)], int(xi))
-                if mm is not None:
-                    count += 1
-                    parts.append((
-                        np.array([mm.index], np.int64),
-                        np.array([mm.score], np.int64),
-                        np.array([mm.exact], bool),
-                        np.array([mm.end_col], np.int64),
-                    ))
-            if parts:
-                index = np.concatenate([p[0] for p in parts])
-                score = np.concatenate([p[1] for p in parts])
-                exact = np.concatenate([p[2] for p in parts])
-                end_col = np.concatenate([p[3] for p in parts])
-            else:
-                index = score = end_col = np.zeros(0, np.int64)
-                exact = np.zeros(0, bool)
-            order = np.lexsort((index, -score))[:k]
+                parts.append((
+                    index[qi][sel], score[qi][sel], exact[qi][sel],
+                    ec[qi][sel], greedy[qi][sel],
+                ))
+            cols = [
+                np.concatenate([p[c] for p in parts])
+                if parts
+                else np.zeros(0, np.int64)
+                for c in range(5)
+            ]
+            order = np.lexsort((cols[0], -cols[1]))[:kfetch]
+            bi, bs, be, bec, bg = (c[order] for c in cols)
+            fetched = len(bi)
+            index, score, exact, end_col = matchers[i]._host_fixups(
+                corpus,
+                bi.astype(np.int64), bs.astype(np.int64),
+                be.astype(bool), bec.astype(np.int64), bg.astype(bool),
+            )
+            # keep the exact total in sync with the fixups' delta, as
+            # the single-device _finalize_topk does
+            count += len(index) - fetched
             results[i] = (
-                count, index[order], score[order], exact[order],
-                end_col[order],
+                count, index[:k], score[:k], exact[:k], end_col[:k]
             )
 
-    for i, m in enumerate(matchers):
-        if results[i] is None:  # single-device fallback
-            index, score, exact, end_col = m.match_arrays(corpus)
-            results[i] = (
-                len(index), index[:k], score[:k], exact[:k], end_col[:k]
-            )
+    # Single-device fallback for everything the sharded path skipped
+    # (same branch _finalize_topk takes for unserved queries)
+    leftover = [i for i in range(len(matchers)) if results[i] is None]
+    if leftover:
+        fb = _finalize_topk(
+            [matchers[i] for i in leftover], corpus,
+            [None] * len(leftover), k,
+        )
+        for j, i in enumerate(leftover):
+            results[i] = fb[j]
     return results

@@ -191,3 +191,34 @@ def test_mesh_batch_topk_unicode_greedy():
     want = match_topk_batch(queries, corpus, cfg, k=16)
     got = match_topk_batch_sharded(queries, corpus, make_mesh(4), cfg, k=16)
     _assert_topk_equal(got, want)
+
+
+def test_mesh_batch_topk_greedy_at_k_boundary():
+    """Greedy rows near the k cut with multiple buckets: the sharded path
+    must apply host fixups to the same globally-ordered fetched set as
+    the single-device path (per-bucket-local rescoring diverges here:
+    a greedy row inside its bucket's top-k but outside the global top-k
+    must NOT be rescored into or out of the result)."""
+    import jax
+
+    from frizbee_tpu.matcher import match_topk_batch
+    from frizbee_tpu.parallel import make_mesh, match_topk_batch_sharded
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multiple devices")
+    greedy_rows = [
+        "l" + "ل" * 600 + "inux",      # window > DP cap: device-capped score
+        "لinuلx" + "ل" * 600,
+        "li" + "ن" * 700 + "nux",
+    ]
+    strong = ["%d linux" % i for i in range(6)]       # clean matches
+    weak = ["l-i%d-n-u-x" % i for i in range(6)]      # gapped matches
+    hay = strong + greedy_rows + weak + ["filler%d" % i for i in range(20)]
+    corpus = pack_corpus(hay, unicode=True)
+    mesh = make_mesh(4)
+    for k in (2, 4, 8, 32):
+        want = match_topk_batch(["linux"], corpus, Config(), k=k)
+        got = match_topk_batch_sharded(
+            ["linux"], corpus, mesh, Config(), k=k
+        )
+        _assert_topk_equal(got, want)

@@ -29,14 +29,38 @@ NEEDLE_ALPHA = "abcdeéA_d. 01"
 pytestmark = pytest.mark.slow
 
 
+_tests_since_clear = 0
+
+
 @pytest.fixture(autouse=True)
-def _clear_caches_per_block():
+def _clear_caches_periodically():
     """These blocks compile many program shapes inside one module; XLA's
     CPU backend segfaults in backend_compile once enough executables
-    accumulate in one process (see conftest's per-module clearing — the
-    same failure, here at per-test granularity)."""
+    accumulate in one process (the same failure conftest's per-module
+    clearing guards against, at a finer grain). Clearing after EVERY test
+    would also work but forfeits all program sharing across blocks (the
+    shape space is quantized, so later blocks mostly reuse earlier
+    compiles) and pushes the suite past an hour; every 4 tests keeps
+    accumulation well under the crash threshold while retaining most of
+    the sharing. Run this module under ``-n 8`` (pytest-xdist) — worker
+    processes add hard isolation on top and cut the wall time to
+    minutes."""
     yield
+    global _tests_since_clear
+    _tests_since_clear += 1
+    if _tests_since_clear >= 4:
+        jax.clear_caches()
+        _tests_since_clear = 0
+
+
+def _clear_caches_now():
+    """Immediate clear for the heaviest blocks (each mesh serving block
+    compiles dozens of shard_map programs — one block alone can reach the
+    executable-accumulation crash threshold, so they can't wait out the
+    periodic fixture)."""
+    global _tests_since_clear
     jax.clear_caches()
+    _tests_since_clear = 0
 
 
 def gen_corpus(rng, n, max_len=40):
@@ -121,3 +145,44 @@ def test_parallel_chunk_boundaries(seed):
     base = m.match_list(hay)
     for shards in (2, 3, 5, 8, 13):
         assert m.match_list_parallel(hay, shards) == base
+
+
+@pytest.mark.parametrize("block", range(4))
+def test_mesh_batch_serving_model(block):
+    """4 blocks x 8 cases: multi-chip batched serving
+    (match_topk_batch_sharded) == single-device serving (counts + rows)
+    on generated corpora, needles, and typo budgets — including cases
+    that take the sharded path's single-device fallback (unit-mode
+    mismatches, empty needles)."""
+    from frizbee_tpu.matcher import match_topk_batch
+    from frizbee_tpu.parallel import make_mesh, match_topk_batch_sharded
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh(8)
+    rng = random.Random(7000 + block)
+    for _ in range(8):
+        hay = gen_corpus(rng, rng.randint(16, 60))
+        # occasional greedy (window > DP cap) and XL (> widest bucket)
+        # rows so the host-fixups path is part of the generated space
+        for _ in range(rng.randint(0, 2)):
+            hay.append(
+                "".join(
+                    rng.choice(ALPHABET)
+                    for _ in range(rng.randint(500, 1200))
+                )
+            )
+        queries = [gen_needle(rng) for _ in range(rng.randint(1, 3))]
+        typos = rng.choice([0, 1, None])
+        cfg = Config(max_typos=typos)
+        want = match_topk_batch(queries, hay, cfg, k=8)
+        got = match_topk_batch_sharded(queries, hay, mesh, cfg, k=8)
+        for (gc, gi, gs, ge, gec), (wc, wi, ws, we, wec) in zip(got, want):
+            assert gc == wc, (queries, typos)
+            np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+            np.testing.assert_array_equal(np.asarray(gs), np.asarray(ws))
+            np.testing.assert_array_equal(
+                np.asarray(ge, bool), np.asarray(we, bool)
+            )
+            np.testing.assert_array_equal(np.asarray(gec), np.asarray(wec))
+    _clear_caches_now()
