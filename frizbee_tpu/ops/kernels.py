@@ -53,6 +53,7 @@ the reference's scoring tests).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -69,8 +70,14 @@ MAX_KERNEL_NEEDLE = 64
 
 DEFAULT_SCORING = (12, 6, 5, 1, 12, 4, 4, 8, 4)
 
-# Sub-tiles per grid step: amortizes the backend's fixed per-step cost
-SUBTILES = 8
+# Sub-tiles per grid step: amortizes the backend's fixed per-step cost.
+# Env overrides exist so device sweeps (benchmarks/probe_kernel_sol.py)
+# can explore tile shapes without code edits; the defaults are the
+# measured v5e optimum and what the committed benchmarks used.
+SUBTILES = int(os.environ.get("FRIZBEE_TPU_SUBTILES", "8"))
+
+# Per-sub-tile VMEM budget in unit-lanes (rows*width); see _tile_rows
+_TILE_BUDGET = int(os.environ.get("FRIZBEE_TPU_TILE_BUDGET", "32768"))
 
 # int16 score lanes compile and pass parity in interpreter mode, but the
 # current Mosaic TPU backend cannot lower them: measured failures are
@@ -85,7 +92,7 @@ def _tile_rows(width: int) -> int:
     """Sub-tile rows: bounds live VMEM working arrays to ~ a dozen
     (TBI, W) vectors (measured on v5e: fatter vectorized bodies regress
     on register/VMEM pressure — fatness comes from SUBTILES instead)."""
-    return max(8, min(256, 32768 // width))
+    return max(8, min(256, _TILE_BUDGET // width))
 
 
 def block_rows(width: int) -> int:
