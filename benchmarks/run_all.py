@@ -45,6 +45,7 @@ from frizbee_tpu.datagen import (  # noqa: E402
     no_match_corpus,
     partial_match_corpus,
     unicode_corpus,
+    xl_heavy_corpus,
 )
 from frizbee_tpu.matcher import (  # noqa: E402
     Matcher,
@@ -254,6 +255,12 @@ def main():
     if not args.skip_chromium and want("chromium_like"):
         rows.append(bench_config(
             "chromium_like", chromium_like_corpus(), "linux", Config(), nq))
+    if want("xl_heavy"):
+        # long-context shape: every row beyond the widest device bucket
+        # runs the batched native host pipeline (no reference row exists
+        # for its greedy fallback, so vs_reference stays blank)
+        run("xl_heavy", xl_heavy_corpus(num_samples=min(N, 100_000)),
+            "deadbeef", Config(), nq)
     if want("copy_path") or want("device_sort"):
         bench_micro(rows)
 

@@ -134,6 +134,27 @@ def all_match_corpus(median_length: int = 64,
     )
 
 
+def xl_heavy_corpus(median_length: int = 2048,
+                    num_samples: int = 100_000,
+                    seed: int = 42) -> List[str]:
+    """Rows longer than the widest device bucket (1024 units), 5% full +
+    20% partial matches: the long-context shape where every row takes the
+    batched host pipeline (greedy windows beyond the DP cap, XL rows) —
+    no reference dataset covers it (its greedy fallback is unbenchmarked,
+    src/smith_waterman/greedy.rs)."""
+    return generate_haystack(
+        "deadbeef",
+        HaystackGenerationOptions(
+            seed=seed,
+            partial_match_percentage=0.20,
+            match_percentage=0.05,
+            median_length=median_length,
+            std_dev_length=median_length // 4,
+            num_samples=num_samples,
+        ),
+    )
+
+
 _SCRIPT_RANGES = {
     # (codepoint ranges, space probability) — synthetic analogs of the
     # reference's Arabic/Korean sentence datasets (BENCHMARKS.md:67-105):

@@ -114,13 +114,24 @@ class FuzzyEngine:
 
         if self.use_device:
             self._match_buckets_device(corpus, out)
+            if len(corpus.xl_indices):
+                xi = corpus.xl_indices
+                m, s, e, ec = self.match_many(
+                    [corpus.haystacks[int(i)] for i in xi]
+                )
+                out.matched[xi] = m
+                out.score[xi] = s
+                out.exact[xi] = e
+                out.end_col[xi] = ec
         else:
+            # the pure-Python per-row oracle: the differential baseline
+            # every batched path above is pinned to
             for bucket in corpus.buckets:
                 for i in bucket.indices:
                     if i >= 0:  # skip size-class padding rows
                         self._host_row(corpus.haystacks[int(i)], int(i), out)
-        for i in corpus.xl_indices:
-            self._host_row(corpus.haystacks[int(i)], int(i), out)
+            for i in corpus.xl_indices:
+                self._host_row(corpus.haystacks[int(i)], int(i), out)
         return out
 
     def _match_buckets_device(self, corpus: Corpus, out: MatchResult) -> None:
@@ -149,10 +160,17 @@ class FuzzyEngine:
             out.score[idx] = score[real]
             out.exact[idx] = exact[real]
             out.end_col[idx] = np.minimum(end_col[real], U16_MAX)
-            # Greedy rows: rescore on the host
-            for r in np.nonzero(needs_greedy & real)[0]:
-                i = int(bucket.indices[r])
-                self._host_row(corpus.haystacks[i], i, out)
+            # Greedy rows: rescore on the host (batched)
+            gr = np.nonzero(needs_greedy & real)[0]
+            if len(gr):
+                gi = bucket.indices[gr]
+                m, s, e, ec = self.match_many(
+                    [corpus.haystacks[int(i)] for i in gi]
+                )
+                out.matched[gi] = m
+                out.score[gi] = s
+                out.exact[gi] = e
+                out.end_col[gi] = ec
 
     # -- host path (oracle semantics) ---------------------------------------
 
@@ -228,6 +246,48 @@ class FuzzyEngine:
             return None
         score, exact, end_col, _, _, _ = res
         return Match(score=score, index=index, exact=exact, end_col=end_col)
+
+    def match_many(self, haystacks) -> tuple:
+        """Batched host pipeline over a list of rows: (matched, score,
+        exact, end_col) arrays. Byte-unit engines run the native OpenMP
+        batch (native/packer.cpp host_match_batch); unicode engines and
+        native-less hosts fall back to the per-row pipeline, which is
+        also the differential oracle the native path is test-pinned to.
+        This is what keeps greedy/XL-heavy corpora (many rows beyond the
+        device DP cap or the widest bucket) off per-row Python speed."""
+        R = len(haystacks)
+        if not self.unicode and self.units.orig and R:
+            from . import native
+            from .ops.fuzzy import SCORING_FIELDS
+
+            data = [h.encode("utf-8") for h in haystacks]
+            starts = np.zeros(R + 1, np.int64)
+            np.cumsum([len(d) for d in data], out=starts[1:])
+            res = native.host_match_batch(
+                b"".join(data), starts,
+                np.array(self.units.orig, np.int32),
+                np.array(self.units.flip, np.int32),
+                np.array(
+                    [getattr(self.config.scoring, f)
+                     for f in SCORING_FIELDS], np.int32,
+                ),
+                self.config.max_typos, MAX_HAYSTACK_LEN,
+                self.min_haystack_len, self.needle_bytes,
+            )
+            if res is not None:
+                m, s, e, ec = res
+                return m, s.astype(np.int64), e, ec.astype(np.int64)
+        matched = np.zeros(R, bool)
+        score = np.zeros(R, np.int64)
+        exact = np.zeros(R, bool)
+        end_col = np.zeros(R, np.int64)
+        for r, h in enumerate(haystacks):
+            res = self._host_pipeline(h)
+            if res is None:
+                continue
+            matched[r] = True
+            score[r], exact[r], end_col[r] = res[0], res[1], res[2]
+        return matched, score, exact, end_col
 
     def match_one_indices(self, haystack: str, index: int) -> Optional[MatchIndices]:
         """Score + traceback indices (reference: src/matcher/algo.rs:196-296)."""

@@ -14,7 +14,7 @@ from typing import Iterable, Iterator, List, Optional, Sequence, Union
 
 import numpy as np
 
-from .config import Config, SortStrategy, sat_add_u16
+from .config import Config, SortStrategy, U16_MAX, sat_add_u16
 from .corpus import Corpus, pack_corpus
 from .engine import MatchResult, make_engine
 from .pattern import Pattern
@@ -308,22 +308,57 @@ class Matcher:
             corpus, index, score, exact, end_col, greedy
         )
 
+    def _match_many_host(self, rows) -> tuple:
+        """Batched host equivalent of ``match_one`` over many haystacks:
+        (matched, score, exact, end_col) arrays with the multi-pattern
+        combine (sum/OR/max, negation veto — reference:
+        src/matcher/multi.rs:84-152). Fuzzy engines run the native
+        OpenMP batch (engine.match_many); the per-row ``match_one`` loop
+        stays as the fallback and the differential oracle."""
+        R = len(rows)
+        matched = np.ones(R, bool)
+        score = np.zeros(R, np.int64)
+        exact = np.zeros(R, bool)
+        end_col = np.zeros(R, np.int64)
+        for cp in self._compiled:
+            eng = cp.engine
+            fn = getattr(eng, "match_many", None)
+            if fn is not None:
+                m, s, e, ec = fn(rows)
+            else:
+                m = np.zeros(R, bool)
+                s = np.zeros(R, np.int64)
+                e = np.zeros(R, bool)
+                ec = np.zeros(R, np.int64)
+                for r, h in enumerate(rows):
+                    mm = eng.match_one(h, r)
+                    if mm is not None:
+                        m[r] = True
+                        s[r], e[r], ec[r] = mm.score, mm.exact, mm.end_col
+            if cp.negated:
+                matched &= ~m
+            else:
+                matched &= m
+                score = np.minimum(score + np.where(m, s, 0), U16_MAX)
+                exact |= e & m
+                end_col = np.maximum(end_col, np.where(m, ec, 0))
+        return matched, score, exact, end_col
+
     def _host_fixups(
         self, corpus, index, score, exact, end_col, greedy
     ) -> tuple:
         """Greedy/XL host rescoring + final strategy ordering."""
         strategy = self._config.sort
-        count = len(index)
         resort = False
         # Greedy rows (trimmed window > DP cap): rescore on the host
         if greedy.any():
-            keep = np.ones(count, dtype=bool)
-            for j in np.nonzero(greedy)[0]:
-                m = self.match_one(corpus.haystacks[int(index[j])], int(index[j]))
-                if m is None:
-                    keep[j] = False
-                else:
-                    score[j], exact[j], end_col[j] = m.score, m.exact, m.end_col
+            gj = np.nonzero(greedy)[0]
+            gm, gs, ge, gec = self._match_many_host(
+                [corpus.haystacks[int(index[j])] for j in gj]
+            )
+            score[gj], exact[gj], end_col[gj] = gs, ge, gec
+            keep = np.ones(len(index), dtype=bool)
+            keep[gj] = gm
             index, score, exact, end_col = (
                 index[keep], score[keep], exact[keep], end_col[keep]
             )
@@ -332,18 +367,19 @@ class Matcher:
         # gated by a presence reject so corpora with many oversized rows
         # only pay the per-row pipeline for plausible candidates
         if len(corpus.xl_indices):
-            extra = []
-            for i in corpus.xl_indices[self._xl_candidates(corpus)]:
-                m = self.match_one(corpus.haystacks[int(i)], int(i))
-                if m is not None:
-                    extra.append((m.index, m.score, m.exact, m.end_col))
-            if extra:
-                e = np.array(extra, dtype=np.int64)
-                index = np.concatenate([index, e[:, 0]])
-                score = np.concatenate([score, e[:, 1]])
-                exact = np.concatenate([exact, e[:, 2].astype(bool)])
-                end_col = np.concatenate([end_col, e[:, 3]])
-                resort = True
+            cand = corpus.xl_indices[self._xl_candidates(corpus)]
+            if len(cand):
+                xm, xs, xe, xec = self._match_many_host(
+                    [corpus.haystacks[int(i)] for i in cand]
+                )
+                if xm.any():
+                    index = np.concatenate(
+                        [index, cand[xm].astype(np.int64)]
+                    )
+                    score = np.concatenate([score, xs[xm]])
+                    exact = np.concatenate([exact, xe[xm]])
+                    end_col = np.concatenate([end_col, xec[xm]])
+                    resort = True
 
         if resort:
             if strategy.is_by_score:

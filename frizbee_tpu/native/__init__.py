@@ -100,6 +100,14 @@ def get_lib():
                     + [ctypes.c_void_p] * 3
                     + [ctypes.c_int64]
                 )
+                lib.host_match_batch.argtypes = (
+                    [ctypes.c_char_p, i64p, ctypes.c_int64]
+                    + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+                    + [ctypes.c_void_p]
+                    + [ctypes.c_int64] * 3
+                    + [ctypes.c_char_p, ctypes.c_int64]
+                    + [ctypes.c_void_p] * 4
+                )
                 _lib = lib
             except Exception:
                 _lib = None
@@ -191,6 +199,47 @@ def sw_indices_batch(
         vp(score), vp(cnt), vp(idx), ctypes.c_int64(cap),
     )
     return score, cnt, idx
+
+
+def host_match_batch(
+    joined: bytes, starts: np.ndarray,
+    orig: np.ndarray, flip: np.ndarray,
+    scoring9: np.ndarray, max_typos: Optional[int],
+    dp_cap: int, min_len: int, needle_bytes: bytes,
+):
+    """Batched byte-unit host pipeline (length gate -> prefilter window ->
+    greedy or full SW with exact bonus) over ragged rows. Returns
+    (matched (R,) bool, score (R,), exact (R,) bool, end_col (R,)) or None
+    when the native library is unavailable. Semantics contract:
+    engine._host_pipeline per row (the per-row Python fallback every
+    caller keeps is the differential oracle)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    starts = np.ascontiguousarray(starts, np.int64)
+    R = len(starts) - 1
+    orig = np.ascontiguousarray(orig, np.int32)
+    flip = np.ascontiguousarray(flip, np.int32)
+    sc = np.ascontiguousarray(scoring9, np.int32)
+    n = len(orig)
+    matched = np.empty(R, np.uint8)
+    score = np.empty(R, np.int32)
+    exact = np.empty(R, np.uint8)
+    end_col = np.empty(R, np.int32)
+
+    def vp(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    lib.host_match_batch(
+        joined, _i64p(starts), ctypes.c_int64(R),
+        vp(orig), vp(flip), ctypes.c_int64(n),
+        vp(sc),
+        ctypes.c_int64(-1 if max_typos is None else int(max_typos)),
+        ctypes.c_int64(dp_cap), ctypes.c_int64(min_len),
+        needle_bytes, ctypes.c_int64(len(needle_bytes)),
+        vp(matched), vp(score), vp(exact), vp(end_col),
+    )
+    return matched.astype(bool), score, exact.astype(bool), end_col
 
 
 def utf8_lengths(joined_u32: np.ndarray, starts: np.ndarray

@@ -237,6 +237,304 @@ void sw_indices_batch(const int32_t* cp, const int32_t* first,
     }
 }
 
+// ---------------------------------------------------------------------
+// Batched ASCII host pipeline for rows the device can't score in-bucket:
+// greedy rows (trimmed window beyond the DP cap) and XL rows (longer
+// than the widest bucket). Byte-unit engines only — the Python oracle
+// remains both the unicode path and the differential twin
+// (FRIZBEE_TPU_NO_NATIVE=1). Semantics contract, ported line for line in
+// saturating u16 arithmetic:
+//   frizbee_tpu/engine.py _host_pipeline
+//   -> oracle/prefilter.py prefilter_window   (typo minimal-position DP)
+//   -> oracle/greedy.py match_greedy          (window > dp_cap)
+//   -> oracle/smith_waterman.py sw_matrices + match_end_col (otherwise)
+// (reference: src/matcher/algo.rs pipeline, src/smith_waterman/greedy.rs)
+
+static inline int32_t sat_add16(int32_t a, int32_t b) {
+    int32_t v = a + b;
+    return v > 0xFFFF ? 0xFFFF : v;
+}
+static inline int32_t sat_sub16(int32_t a, int32_t b) {
+    int32_t v = a - b;
+    return v < 0 ? 0 : v;
+}
+static inline int32_t sat_mul16(int64_t a, int64_t b) {
+    int64_t v = a * b;
+    return v > 0xFFFF ? 0xFFFF : (int32_t)v;
+}
+static inline bool is_delim_b(int32_t b) {
+    bool letter = (b >= 0x41 && b <= 0x5A) || (b >= 0x61 && b <= 0x7A);
+    bool digit = b >= 0x30 && b <= 0x39;
+    return b >= 0 && b <= 127 && !letter && !digit;
+}
+
+void host_match_batch(const uint8_t* joined, const int64_t* starts,
+                      int64_t R,
+                      const int32_t* orig, const int32_t* flip, int64_t n,
+                      const int32_t* scoring, int64_t max_typos,
+                      int64_t dp_cap, int64_t min_len,
+                      const uint8_t* needle_bytes, int64_t needle_len,
+                      uint8_t* matched_out, int32_t* score_out,
+                      uint8_t* exact_out, int32_t* end_col_out) {
+    const int32_t ms = scoring[0], mm_pen = scoring[1];
+    const int32_t gap_open = scoring[2], gap_ext = scoring[3];
+    const int32_t prefix_b = scoring[4], cap_b = scoring[5];
+    const int32_t case_b = scoring[6], exact_b = scoring[7];
+    const int32_t delim_b = scoring[8];
+    const int32_t goe = sat_sub16(gap_open, gap_ext);
+    const int64_t T = max_typos;  // -1 = no prefilter
+
+#pragma omp parallel
+    {
+        // rolling SW rows + match masks + per-window bonuses (window
+        // length is <= dp_cap on the SW branch)
+        std::vector<int32_t> h0((size_t)dp_cap + 1), h1((size_t)dp_cap + 1);
+        std::vector<uint8_t> m0((size_t)dp_cap + 1), m1((size_t)dp_cap + 1);
+        std::vector<int32_t> bonus((size_t)dp_cap);
+        std::vector<int64_t> f, nf;  // typo DP states
+
+#pragma omp for schedule(dynamic, 8)
+        for (int64_t r = 0; r < R; ++r) {
+            matched_out[r] = 0;
+            score_out[r] = 0;
+            exact_out[r] = 0;
+            end_col_out[r] = 0;
+            const uint8_t* hay = joined + starts[r];
+            const int64_t len = starts[r + 1] - starts[r];
+            if (len < min_len) continue;
+
+            // -- prefilter window (byte units: byte_off[j] == j) --------
+            int64_t start = 0, end = len;
+            if (T >= 0) {
+                if (n <= T) {
+                    // a needle no longer than the budget always matches
+                } else if (len == 0) {
+                    continue;
+                } else if (T == 0) {
+                    // greedy leftmost embedding
+                    int64_t pos = -1, first_pos = -1;
+                    bool ok = true;
+                    for (int64_t k = 0; k < n; ++k) {
+                        int64_t nxt = -1;
+                        for (int64_t j = pos + 1; j < len; ++j) {
+                            if (hay[j] == orig[k] || hay[j] == flip[k]) {
+                                nxt = j;
+                                break;
+                            }
+                        }
+                        if (nxt < 0) { ok = false; break; }
+                        if (first_pos < 0) first_pos = nxt;
+                        pos = nxt;
+                    }
+                    if (!ok) continue;
+                    // end: last occurrence of the final needle unit at or
+                    // after the greedy completion position
+                    int64_t end_unit = pos;
+                    for (int64_t j = len - 1; j >= pos; --j) {
+                        if (hay[j] == orig[n - 1] || hay[j] == flip[n - 1]) {
+                            end_unit = j;
+                            break;
+                        }
+                    }
+                    start = first_pos;
+                    end = end_unit + 1;
+                } else {
+                    // exact minimal-position DP over the typo budget
+                    const int64_t INF = INT64_MAX / 2;
+                    f.assign((size_t)T + 1, 0);
+                    nf.assign((size_t)T + 1, 0);
+                    for (int64_t k = 0; k < n; ++k) {
+                        for (int64_t t = 0; t <= T; ++t) {
+                            int64_t v = INF;
+                            if (f[(size_t)t] < INF) {
+                                for (int64_t j = f[(size_t)t]; j < len; ++j) {
+                                    if (hay[j] == orig[k] ||
+                                        hay[j] == flip[k]) {
+                                        v = j + 1;
+                                        break;
+                                    }
+                                }
+                            }
+                            if (t > 0 && f[(size_t)(t - 1)] < v)
+                                v = f[(size_t)(t - 1)];
+                            nf[(size_t)t] = v;
+                        }
+                        f.swap(nf);
+                    }
+                    if (f[(size_t)T] >= INF) continue;
+                    // start: min first occurrence among needle[0..=T]
+                    const int64_t kmax = T + 1 < n ? T + 1 : n;
+                    for (int64_t j = 0; j < len; ++j) {
+                        bool any = false;
+                        for (int64_t k = 0; k < kmax; ++k)
+                            if (hay[j] == orig[k] || hay[j] == flip[k]) {
+                                any = true;
+                                break;
+                            }
+                        if (any) { start = j; break; }
+                    }
+                    // end: last occurrence of any of the last T+1 units
+                    const int64_t first_tail = n - 1 - T;
+                    for (int64_t j = len - 1; j >= 0; --j) {
+                        bool any = false;
+                        for (int64_t k = first_tail; k < n; ++k)
+                            if (hay[j] == orig[k] || hay[j] == flip[k]) {
+                                any = true;
+                                break;
+                            }
+                        if (any) { end = j + 1; break; }
+                    }
+                }
+            }
+
+            const int64_t wstart = start > 0 ? start - 1 : 0;
+            const bool include_exact = wstart == 0 && end == len;
+            const bool include_prefix = wstart == 0;
+            const uint8_t* win = hay + wstart;
+            const int64_t m = end - wstart;
+            matched_out[r] = 1;
+            const bool is_exact =
+                include_exact && m == needle_len &&
+                std::memcmp(win, needle_bytes, (size_t)needle_len) == 0;
+
+            if (m > dp_cap) {
+                // -- greedy fallback (oracle/greedy.py match_greedy) ----
+                if (n > m) {  // len(pairs) > len(haystack): no match
+                    end_col_out[r] =
+                        wstart > 0xFFFF ? 0xFFFF : (int32_t)wstart;
+                    continue;
+                }
+                int32_t score = 0;
+                int64_t hi = 0;
+                int64_t last_idx = 0;
+                bool deb = false;       // delimiter_bonus_enabled
+                bool prev_lower = false;
+                bool prev_delim = false;
+                bool ok = true;
+                for (int64_t k = 0; k < n; ++k) {
+                    const int64_t hstart = hi;
+                    const int64_t limit = m - n + k;
+                    bool found = false;
+                    while (hi <= limit) {
+                        const int32_t h = win[hi];
+                        const bool h_digit = h >= 0x30 && h <= 0x39;
+                        const bool h_upper = h >= 0x41 && h <= 0x5A;
+                        const bool h_lower = h >= 0x61 && h <= 0x7A;
+                        const bool h_delim =
+                            h <= 127 && !(h_lower || h_upper || h_digit);
+                        if (!h_delim) deb = true;
+                        if (h != orig[k] && h != flip[k]) {
+                            prev_delim = deb && h_delim;
+                            prev_lower = h_lower;
+                            ++hi;
+                            continue;
+                        }
+                        score = sat_add16(score, ms);
+                        if (hi != hstart && k != 0) {
+                            int64_t gap = hi - hstart - 1;
+                            if (gap < 0) gap = 0;
+                            if (gap > 0xFFFF) gap = 0xFFFF;
+                            score = sat_sub16(
+                                score,
+                                sat_add16(gap_open,
+                                          sat_mul16(gap_ext, gap)));
+                        }
+                        if (h == orig[k]) score = sat_add16(score, case_b);
+                        if (h_upper && prev_lower)
+                            score = sat_add16(score, cap_b);
+                        if (include_prefix && hi == 0)
+                            score = sat_add16(score, prefix_b);
+                        if (prev_delim && !h_delim)
+                            score = sat_add16(score, delim_b);
+                        prev_delim = deb && h_delim;
+                        prev_lower = h_lower;
+                        last_idx = hi;
+                        ++hi;
+                        found = true;
+                        break;
+                    }
+                    if (!found) { ok = false; break; }
+                }
+                if (!ok) {
+                    end_col_out[r] =
+                        wstart > 0xFFFF ? 0xFFFF : (int32_t)wstart;
+                    continue;
+                }
+                int64_t ec = last_idx > 0xFFFF ? 0xFFFF : last_idx;
+                ec += wstart;
+                if (ec > 0xFFFF) ec = 0xFFFF;
+                if (is_exact) score = sat_add16(score, exact_b);
+                score_out[r] = score;
+                exact_out[r] = is_exact;
+                end_col_out[r] = (int32_t)ec;
+                continue;
+            }
+
+            // -- full SW over the window (oracle sw_matrices) -----------
+            for (int64_t j = 0; j < m; ++j) {
+                const int32_t fb = win[j];
+                const int32_t pb = j == 0 ? -1 : win[j - 1];
+                int32_t bo = 0;
+                if (fb >= 0x41 && fb <= 0x5A && pb >= 0x61 && pb <= 0x7A)
+                    bo += cap_b;
+                if (is_delim_b(pb) && !is_delim_b(fb)) bo += delim_b;
+                if (include_prefix && j == 0) bo += prefix_b;
+                bonus[(size_t)j] = bo;
+            }
+            int32_t* prow = h0.data();
+            int32_t* row = h1.data();
+            uint8_t* pmm = m0.data();
+            uint8_t* mrow = m1.data();
+            for (int64_t j = 0; j <= m; ++j) {
+                prow[j] = 0;
+                pmm[j] = 0;
+            }
+            for (int64_t i = 1; i <= n; ++i) {
+                const int32_t no = orig[i - 1], nfl = flip[i - 1];
+                row[0] = 0;
+                mrow[0] = 0;
+                for (int64_t j = 1; j <= m; ++j) {
+                    const int32_t h = win[j - 1];
+                    const bool exact_c = h == no;
+                    const bool match = exact_c || h == nfl;
+                    mrow[j] = match;
+                    int32_t diag = prow[j - 1];
+                    if (match)
+                        diag = sat_add16(
+                            diag, ms + mm_pen + bonus[(size_t)(j - 1)]);
+                    diag = sat_sub16(diag, mm_pen);
+                    if (exact_c) diag = sat_add16(diag, case_b);
+                    int32_t up = sat_sub16(prow[j], gap_ext);
+                    if (pmm[j]) up = sat_sub16(up, goe);
+                    int32_t left = sat_sub16(
+                        row[j - 1], gap_ext + (mrow[j - 1] ? goe : 0));
+                    int32_t v = diag > up ? diag : up;
+                    row[j] = v > left ? v : left;
+                }
+                std::swap(prow, row);
+                std::swap(pmm, mrow);
+            }
+            // prow now holds the final needle row
+            int32_t score = 0;
+            for (int64_t j = 1; j <= m; ++j)
+                if (prow[j] > score) score = prow[j];
+            int64_t ec = wstart;
+            if (score > 0) {
+                for (int64_t j = 1; j <= m; ++j)
+                    if (prow[j] == score) {
+                        ec = wstart + j - 1;  // byte_off is absolute
+                        break;
+                    }
+            }
+            if (ec > 0xFFFF) ec = 0xFFFF;
+            if (is_exact) score = sat_add16(score, exact_b);
+            score_out[r] = score;
+            exact_out[r] = is_exact;
+            end_col_out[r] = (int32_t)ec;
+        }
+    }
+}
+
 // Per-row UTF-8 byte counts for a UTF-32 buffer.
 void utf8_lengths(const uint32_t* joined, const int64_t* starts, int64_t n,
                   int64_t* out) {

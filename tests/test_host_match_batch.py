@@ -1,0 +1,148 @@
+"""Native batched host pipeline (host_match_batch) vs the Python oracle.
+
+The per-row ``engine._host_pipeline`` is the semantics oracle (itself
+pinned to the reference's matcher pipeline); ``engine.match_many`` must
+equal it row for row — through the native C++ batch when available and
+through the per-row fallback when not. On top sits the end-to-end check:
+a greedy/XL-heavy corpus through the DEVICE matcher must equal the host
+oracle matcher (the ground-truth invariant), at a scale the old per-row
+Python loop made impractical.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+import frizbee_tpu.native as native
+from frizbee_tpu.config import Config, Scoring
+from frizbee_tpu.engine import FuzzyEngine
+
+ALPHA = "abcdeABC_/. 01xyz"
+
+
+def gen_rows(rng, n, lo=0, hi=60):
+    return [
+        "".join(rng.choice(ALPHA) for _ in range(rng.randint(lo, hi)))
+        for _ in range(n)
+    ]
+
+
+def xl_rows(rng, n):
+    """Rows past the device DP cap / widest bucket, half of them
+    embedding a needle subsequence."""
+    out = []
+    for i in range(n):
+        body = "".join(
+            rng.choice(ALPHA) for _ in range(rng.randint(1100, 3000))
+        )
+        if i % 2 == 0:
+            body = "l" + body + "inux" if i % 4 == 0 else "li" + body + "nux"
+        out.append(body)
+    return out
+
+
+def _assert_many_equals_oracle(eng, rows):
+    m, s, e, ec = eng.match_many(rows)
+    for r, h in enumerate(rows):
+        res = eng._host_pipeline(h)
+        if res is None:
+            assert not m[r], (eng.needle, r, h[:40])
+        else:
+            assert m[r], (eng.needle, r, h[:40])
+            assert (s[r], e[r], ec[r]) == res[:3], (
+                eng.needle, r, h[:40], (s[r], e[r], ec[r]), res[:3]
+            )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_match_many_equals_oracle(seed):
+    rng = random.Random(1000 + seed)
+    rows = (
+        gen_rows(rng, 50)
+        + xl_rows(rng, 8)
+        + ["", "l", "linux", "LINUX", "Linux" * 400]
+    )
+    for needle in ("linux", "Li", "a_b.c"):
+        for typos in (0, 1, 3, None):
+            eng = FuzzyEngine(needle, Config(max_typos=typos))
+            _assert_many_equals_oracle(eng, rows)
+
+
+def test_match_many_scoring_variants():
+    rng = random.Random(77)
+    rows = gen_rows(rng, 30) + xl_rows(rng, 6)
+    scorings = [
+        Scoring(
+            match_score=255, mismatch_penalty=1, gap_open_penalty=255,
+            gap_extend_penalty=120, prefix_bonus=200,
+            capitalization_bonus=7, matching_case_bonus=9,
+            exact_match_bonus=250, delimiter_bonus=11,
+        ),
+        Scoring(
+            match_score=1, mismatch_penalty=0, gap_open_penalty=0,
+            gap_extend_penalty=0, prefix_bonus=0, capitalization_bonus=0,
+            matching_case_bonus=0, exact_match_bonus=0, delimiter_bonus=0,
+        ),
+    ]
+    for sc in scorings:
+        for typos in (0, 2, None):
+            eng = FuzzyEngine("Linux", Config(max_typos=typos, scoring=sc))
+            _assert_many_equals_oracle(eng, rows)
+
+
+@pytest.mark.skipif(native.get_lib() is None, reason="no native toolchain")
+def test_native_equals_fallback():
+    """The native batch and the per-row fallback must agree exactly."""
+    rng = random.Random(5)
+    rows = gen_rows(rng, 40) + xl_rows(rng, 6)
+    eng = FuzzyEngine("linux", Config(max_typos=1))
+    got_native = eng.match_many(rows)
+    saved = native._lib, native._tried
+    try:
+        native._lib, native._tried = None, True
+        got_py = eng.match_many(rows)
+    finally:
+        native._lib, native._tried = saved
+    for a, b in zip(got_native, got_py):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_xl_heavy_corpus_device_equals_host():
+    """End-to-end at the shape the per-row loop made impractical: a
+    corpus dominated by greedy/XL rows through the device matcher ==
+    the pure-Python host oracle matcher."""
+    from frizbee_tpu.matcher import Matcher
+
+    rng = random.Random(9)
+    hay = (
+        gen_rows(rng, 40)
+        + xl_rows(rng, 60)
+        + ["l" + "x" * 600 + "inux" for _ in range(20)]  # greedy windows
+    )
+    rng.shuffle(hay)
+    for typos in (0, 1, None):
+        dev = Matcher("linux", Config(max_typos=typos))
+        host = Matcher("linux", Config(max_typos=typos), use_device=False)
+        assert dev.match_list(hay) == host.match_list(hay), typos
+
+
+def test_xl_heavy_topk_batch():
+    """The serving path's host fixups run the batched pipeline; counts
+    and rows must still equal the per-query reference path."""
+    from frizbee_tpu.matcher import Matcher, match_topk_batch
+
+    rng = random.Random(11)
+    hay = gen_rows(rng, 64) + xl_rows(rng, 30)
+    res = match_topk_batch(["linux", "xy"], hay, Config(max_typos=1), k=16)
+    for q, (count, index, score, exact, end_col) in zip(["linux", "xy"], res):
+        w_index, w_score, w_exact, w_end = Matcher(
+            q, Config(max_typos=1)
+        ).match_arrays(hay)
+        assert count == len(w_index)
+        np.testing.assert_array_equal(np.asarray(index), w_index[:16])
+        np.testing.assert_array_equal(np.asarray(score), w_score[:16])
+        np.testing.assert_array_equal(
+            np.asarray(exact, bool), w_exact[:16].astype(bool)
+        )
+        np.testing.assert_array_equal(np.asarray(end_col), w_end[:16])
