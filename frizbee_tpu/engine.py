@@ -250,30 +250,53 @@ class FuzzyEngine:
     def match_many(self, haystacks) -> tuple:
         """Batched host pipeline over a list of rows: (matched, score,
         exact, end_col) arrays. Byte-unit engines run the native OpenMP
-        batch (native/packer.cpp host_match_batch); unicode engines and
-        native-less hosts fall back to the per-row pipeline, which is
-        also the differential oracle the native path is test-pinned to.
-        This is what keeps greedy/XL-heavy corpora (many rows beyond the
-        device DP cap or the widest bucket) off per-row Python speed."""
+        batch (native/packer.cpp host_match_batch), codepoint-unit
+        engines its unicode twin (host_match_batch_u32); native-less
+        hosts fall back to the per-row pipeline, which is also the
+        differential oracle the native paths are test-pinned to. This is
+        what keeps greedy/XL-heavy corpora (many rows beyond the device
+        DP cap or the widest bucket) off per-row Python speed."""
         R = len(haystacks)
-        if not self.unicode and self.units.orig and R:
+        if self.units.orig and R:
             from . import native
             from .ops.fuzzy import SCORING_FIELDS
 
             data = [h.encode("utf-8") for h in haystacks]
             starts = np.zeros(R + 1, np.int64)
             np.cumsum([len(d) for d in data], out=starts[1:])
-            res = native.host_match_batch(
-                b"".join(data), starts,
-                np.array(self.units.orig, np.int32),
-                np.array(self.units.flip, np.int32),
-                np.array(
-                    [getattr(self.config.scoring, f)
-                     for f in SCORING_FIELDS], np.int32,
-                ),
-                self.config.max_typos, MAX_HAYSTACK_LEN,
-                self.min_haystack_len, self.needle_bytes,
+            scoring9 = np.array(
+                [getattr(self.config.scoring, f) for f in SCORING_FIELDS],
+                np.int32,
             )
+            orig = np.array(self.units.orig, np.int32)
+            flip = np.array(self.units.flip, np.int32)
+            if self.unicode:
+                u32 = [
+                    np.frombuffer(h.encode("utf-32-le"), np.uint32)
+                    for h in haystacks
+                ]
+                ustarts = np.zeros(R + 1, np.int64)
+                np.cumsum([len(u) for u in u32], out=ustarts[1:])
+                from .casefold import case_needle_bytes
+
+                pairs = case_needle_bytes(
+                    self.needle_bytes, self.case_sensitive
+                )
+                res = native.host_match_batch_u32(
+                    b"".join(data), starts,
+                    np.concatenate(u32) if u32 else np.zeros(0, np.uint32),
+                    ustarts, orig, flip,
+                    np.array([o for o, _ in pairs], np.int32),
+                    np.array([f for _, f in pairs], np.int32),
+                    scoring9, self.config.max_typos, MAX_HAYSTACK_LEN,
+                    self.min_haystack_len, self.needle_bytes,
+                )
+            else:
+                res = native.host_match_batch(
+                    b"".join(data), starts, orig, flip,
+                    scoring9, self.config.max_typos, MAX_HAYSTACK_LEN,
+                    self.min_haystack_len, self.needle_bytes,
+                )
             if res is not None:
                 m, s, e, ec = res
                 return m, s.astype(np.int64), e, ec.astype(np.int64)

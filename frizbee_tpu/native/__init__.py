@@ -108,6 +108,15 @@ def get_lib():
                     + [ctypes.c_char_p, ctypes.c_int64]
                     + [ctypes.c_void_p] * 4
                 )
+                lib.host_match_batch_u32.argtypes = (
+                    [ctypes.c_char_p, i64p, ctypes.c_void_p, i64p,
+                     ctypes.c_int64]
+                    + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64] * 2
+                    + [ctypes.c_void_p]
+                    + [ctypes.c_int64] * 3
+                    + [ctypes.c_char_p, ctypes.c_int64]
+                    + [ctypes.c_void_p] * 4
+                )
                 _lib = lib
             except Exception:
                 _lib = None
@@ -233,6 +242,53 @@ def host_match_batch(
     lib.host_match_batch(
         joined, _i64p(starts), ctypes.c_int64(R),
         vp(orig), vp(flip), ctypes.c_int64(n),
+        vp(sc),
+        ctypes.c_int64(-1 if max_typos is None else int(max_typos)),
+        ctypes.c_int64(dp_cap), ctypes.c_int64(min_len),
+        needle_bytes, ctypes.c_int64(len(needle_bytes)),
+        vp(matched), vp(score), vp(exact), vp(end_col),
+    )
+    return matched.astype(bool), score, exact.astype(bool), end_col
+
+
+def host_match_batch_u32(
+    joined: bytes, bstarts: np.ndarray,
+    joined_u32: np.ndarray, ustarts: np.ndarray,
+    orig: np.ndarray, flip: np.ndarray,
+    orig_b: np.ndarray, flip_b: np.ndarray,
+    scoring9: np.ndarray, max_typos: Optional[int],
+    dp_cap: int, min_len: int, needle_bytes: bytes,
+):
+    """Unicode twin of ``host_match_batch``: codepoint units (+ in-pass
+    UTF-8 byte context) for the prefilter/SW, raw bytes + byte-level
+    needle pairs for the greedy fallback — the oracle's exact split."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    bstarts = np.ascontiguousarray(bstarts, np.int64)
+    ustarts = np.ascontiguousarray(ustarts, np.int64)
+    joined_u32 = np.ascontiguousarray(joined_u32, np.uint32)
+    R = len(bstarts) - 1
+
+    def c32(a):
+        return np.ascontiguousarray(a, np.int32)
+
+    orig, flip, orig_b, flip_b = map(c32, (orig, flip, orig_b, flip_b))
+    sc = c32(scoring9)
+    matched = np.empty(R, np.uint8)
+    score = np.empty(R, np.int32)
+    exact = np.empty(R, np.uint8)
+    end_col = np.empty(R, np.int32)
+
+    def vp(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    lib.host_match_batch_u32(
+        joined, _i64p(bstarts),
+        joined_u32.ctypes.data_as(ctypes.c_void_p), _i64p(ustarts),
+        ctypes.c_int64(R),
+        vp(orig), vp(flip), ctypes.c_int64(len(orig)),
+        vp(orig_b), vp(flip_b), ctypes.c_int64(len(orig_b)),
         vp(sc),
         ctypes.c_int64(-1 if max_typos is None else int(max_typos)),
         ctypes.c_int64(dp_cap), ctypes.c_int64(min_len),

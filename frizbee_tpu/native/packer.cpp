@@ -535,6 +535,352 @@ void host_match_batch(const uint8_t* joined, const int64_t* starts,
     }
 }
 
+// Unicode twin of host_match_batch: units are codepoints (UTF-32 rows),
+// the prefilter and SW run per unit with UTF-8 byte context derived
+// in-pass (same formulas as pack_rows_u32), and the greedy fallback runs
+// per BYTE on the raw UTF-8 rows with byte-level needle pairs — exactly
+// the oracle's split (prefilter/SW: oracle/tokenize.py units; greedy:
+// oracle/greedy.py bytes; reference: src/smith_waterman/greedy.rs is
+// byte-level even for unicode needles). Window tokenization semantics
+// (oracle/tokenize.py lines 115-140, valid UTF-8): the start-1 trim byte
+// is either a whole ASCII scalar (joins the window, fresh -1 context) or
+// the last byte of a multi-byte scalar (skipped, becomes the first
+// window unit's bonus context).
+void host_match_batch_u32(
+    const uint8_t* joined, const int64_t* bstarts,      // UTF-8 rows
+    const uint32_t* joined32, const int64_t* ustarts,   // UTF-32 rows
+    int64_t R,
+    const int32_t* orig, const int32_t* flip, int64_t n,       // unit pairs
+    const int32_t* orig_b, const int32_t* flip_b, int64_t nb,  // byte pairs
+    const int32_t* scoring, int64_t max_typos,
+    int64_t dp_cap, int64_t min_len,
+    const uint8_t* needle_bytes, int64_t needle_len,
+    uint8_t* matched_out, int32_t* score_out,
+    uint8_t* exact_out, int32_t* end_col_out) {
+    const int32_t ms = scoring[0], mm_pen = scoring[1];
+    const int32_t gap_open = scoring[2], gap_ext = scoring[3];
+    const int32_t prefix_b = scoring[4], cap_b = scoring[5];
+    const int32_t case_b = scoring[6], exact_b = scoring[7];
+    const int32_t delim_b = scoring[8];
+    const int32_t goe = sat_sub16(gap_open, gap_ext);
+    const int64_t T = max_typos;
+
+#pragma omp parallel
+    {
+        std::vector<int32_t> h0((size_t)dp_cap + 1), h1((size_t)dp_cap + 1);
+        std::vector<uint8_t> m0((size_t)dp_cap + 1), m1((size_t)dp_cap + 1);
+        std::vector<int32_t> bonus((size_t)dp_cap);
+        std::vector<int64_t> f, nf;
+        // per-unit byte context for the current row (grows to row size)
+        std::vector<int32_t> ufirst, ulast, uoff, ulen;
+
+#pragma omp for schedule(dynamic, 8)
+        for (int64_t r = 0; r < R; ++r) {
+            matched_out[r] = 0;
+            score_out[r] = 0;
+            exact_out[r] = 0;
+            end_col_out[r] = 0;
+            const uint8_t* row_b = joined + bstarts[r];
+            const int64_t len_b = bstarts[r + 1] - bstarts[r];
+            const uint32_t* cp = joined32 + ustarts[r];
+            const int64_t mu = ustarts[r + 1] - ustarts[r];
+            if (len_b < min_len) continue;
+
+            // -- byte context per unit (pack_rows_u32 formulas) ---------
+            if ((int64_t)ufirst.size() < mu) {
+                ufirst.resize((size_t)mu);
+                ulast.resize((size_t)mu);
+                uoff.resize((size_t)mu);
+                ulen.resize((size_t)mu);
+            }
+            {
+                int32_t off = 0;
+                for (int64_t k = 0; k < mu; ++k) {
+                    const uint32_t c = cp[k];
+                    int32_t l, fb, lb;
+                    if (c < 0x80) {
+                        l = 1; fb = (int32_t)c; lb = (int32_t)c;
+                    } else if (c < 0x800) {
+                        l = 2; fb = 0xC0 | (int32_t)(c >> 6);
+                        lb = 0x80 | (int32_t)(c & 0x3F);
+                    } else if (c < 0x10000) {
+                        l = 3; fb = 0xE0 | (int32_t)(c >> 12);
+                        lb = 0x80 | (int32_t)(c & 0x3F);
+                    } else {
+                        l = 4; fb = 0xF0 | (int32_t)(c >> 18);
+                        lb = 0x80 | (int32_t)(c & 0x3F);
+                    }
+                    ufirst[(size_t)k] = fb;
+                    ulast[(size_t)k] = lb;
+                    uoff[(size_t)k] = off;
+                    ulen[(size_t)k] = l;
+                    off += l;
+                }
+            }
+
+            // -- prefilter window over units ----------------------------
+            int64_t start = 0, end = len_b;
+            if (T >= 0) {
+                if (n <= T) {
+                } else if (mu == 0) {
+                    continue;
+                } else if (T == 0) {
+                    int64_t pos = -1, first_pos = -1;
+                    bool ok = true;
+                    for (int64_t k = 0; k < n; ++k) {
+                        int64_t nxt = -1;
+                        for (int64_t j = pos + 1; j < mu; ++j) {
+                            if ((int32_t)cp[j] == orig[k] ||
+                                (int32_t)cp[j] == flip[k]) {
+                                nxt = j;
+                                break;
+                            }
+                        }
+                        if (nxt < 0) { ok = false; break; }
+                        if (first_pos < 0) first_pos = nxt;
+                        pos = nxt;
+                    }
+                    if (!ok) continue;
+                    int64_t end_unit = pos;
+                    for (int64_t j = mu - 1; j >= pos; --j) {
+                        if ((int32_t)cp[j] == orig[n - 1] ||
+                            (int32_t)cp[j] == flip[n - 1]) {
+                            end_unit = j;
+                            break;
+                        }
+                    }
+                    start = uoff[(size_t)first_pos];
+                    end = uoff[(size_t)end_unit] + ulen[(size_t)end_unit];
+                } else {
+                    const int64_t INF = INT64_MAX / 2;
+                    f.assign((size_t)T + 1, 0);
+                    nf.assign((size_t)T + 1, 0);
+                    for (int64_t k = 0; k < n; ++k) {
+                        for (int64_t t = 0; t <= T; ++t) {
+                            int64_t v = INF;
+                            if (f[(size_t)t] < INF) {
+                                for (int64_t j = f[(size_t)t]; j < mu; ++j) {
+                                    if ((int32_t)cp[j] == orig[k] ||
+                                        (int32_t)cp[j] == flip[k]) {
+                                        v = j + 1;
+                                        break;
+                                    }
+                                }
+                            }
+                            if (t > 0 && f[(size_t)(t - 1)] < v)
+                                v = f[(size_t)(t - 1)];
+                            nf[(size_t)t] = v;
+                        }
+                        f.swap(nf);
+                    }
+                    if (f[(size_t)T] >= INF) continue;
+                    const int64_t kmax = T + 1 < n ? T + 1 : n;
+                    for (int64_t j = 0; j < mu; ++j) {
+                        bool any = false;
+                        for (int64_t k = 0; k < kmax; ++k)
+                            if ((int32_t)cp[j] == orig[k] ||
+                                (int32_t)cp[j] == flip[k]) {
+                                any = true;
+                                break;
+                            }
+                        if (any) { start = uoff[(size_t)j]; break; }
+                    }
+                    const int64_t first_tail = n - 1 - T;
+                    for (int64_t j = mu - 1; j >= 0; --j) {
+                        bool any = false;
+                        for (int64_t k = first_tail; k < n; ++k)
+                            if ((int32_t)cp[j] == orig[k] ||
+                                (int32_t)cp[j] == flip[k]) {
+                                any = true;
+                                break;
+                            }
+                        if (any) {
+                            end = uoff[(size_t)j] + ulen[(size_t)j];
+                            break;
+                        }
+                    }
+                }
+            }
+
+            const int64_t wstart = start > 0 ? start - 1 : 0;
+            const bool include_exact = wstart == 0 && end == len_b;
+            const bool include_prefix = wstart == 0;
+            matched_out[r] = 1;
+            const bool is_exact =
+                include_exact && end - wstart == needle_len &&
+                std::memcmp(row_b + wstart, needle_bytes,
+                            (size_t)needle_len) == 0;
+
+            if (end - wstart > dp_cap) {
+                // -- byte-level greedy on the raw UTF-8 window ----------
+                const uint8_t* win = row_b + wstart;
+                const int64_t m = end - wstart;
+                if (nb > m) {
+                    end_col_out[r] =
+                        wstart > 0xFFFF ? 0xFFFF : (int32_t)wstart;
+                    continue;
+                }
+                int32_t score = 0;
+                int64_t hi = 0, last_idx = 0;
+                bool deb = false, prev_lower = false, prev_delim = false;
+                bool ok = true;
+                for (int64_t k = 0; k < nb; ++k) {
+                    const int64_t hstart = hi;
+                    const int64_t limit = m - nb + k;
+                    bool found = false;
+                    while (hi <= limit) {
+                        const int32_t h = win[hi];
+                        const bool h_digit = h >= 0x30 && h <= 0x39;
+                        const bool h_upper = h >= 0x41 && h <= 0x5A;
+                        const bool h_lower = h >= 0x61 && h <= 0x7A;
+                        const bool h_delim =
+                            h <= 127 && !(h_lower || h_upper || h_digit);
+                        if (!h_delim) deb = true;
+                        if (h != orig_b[k] && h != flip_b[k]) {
+                            prev_delim = deb && h_delim;
+                            prev_lower = h_lower;
+                            ++hi;
+                            continue;
+                        }
+                        score = sat_add16(score, ms);
+                        if (hi != hstart && k != 0) {
+                            int64_t gap = hi - hstart - 1;
+                            if (gap < 0) gap = 0;
+                            if (gap > 0xFFFF) gap = 0xFFFF;
+                            score = sat_sub16(
+                                score,
+                                sat_add16(gap_open,
+                                          sat_mul16(gap_ext, gap)));
+                        }
+                        if (h == orig_b[k]) score = sat_add16(score, case_b);
+                        if (h_upper && prev_lower)
+                            score = sat_add16(score, cap_b);
+                        if (include_prefix && hi == 0)
+                            score = sat_add16(score, prefix_b);
+                        if (prev_delim && !h_delim)
+                            score = sat_add16(score, delim_b);
+                        prev_delim = deb && h_delim;
+                        prev_lower = h_lower;
+                        last_idx = hi;
+                        ++hi;
+                        found = true;
+                        break;
+                    }
+                    if (!found) { ok = false; break; }
+                }
+                if (!ok) {
+                    end_col_out[r] =
+                        wstart > 0xFFFF ? 0xFFFF : (int32_t)wstart;
+                    continue;
+                }
+                int64_t ec = last_idx > 0xFFFF ? 0xFFFF : last_idx;
+                ec += wstart;
+                if (ec > 0xFFFF) ec = 0xFFFF;
+                if (is_exact) score = sat_add16(score, exact_b);
+                score_out[r] = score;
+                exact_out[r] = is_exact;
+                end_col_out[r] = (int32_t)ec;
+                continue;
+            }
+
+            // -- window units + first-unit bonus context ----------------
+            // (tokenize window rule: the start-1 byte joins the window as
+            // a unit when it is a whole ASCII scalar, else it is the
+            // previous multi-byte unit's last byte = the first window
+            // unit's bonus context)
+            int64_t ws_u = 0;
+            int32_t prev0 = -1;
+            if (start > 0) {
+                // unit with byte_off == start (prefilter returns unit
+                // boundaries); find it by scan from the start estimate
+                int64_t s_u = 0;
+                while (s_u < mu && uoff[(size_t)s_u] != start) ++s_u;
+                if (ulen[(size_t)(s_u - 1)] == 1) {
+                    ws_u = s_u - 1;
+                    prev0 = -1;
+                } else {
+                    ws_u = s_u;
+                    prev0 = ulast[(size_t)(s_u - 1)];
+                }
+            }
+            int64_t we_u = ws_u;
+            while (we_u < mu &&
+                   uoff[(size_t)we_u] + ulen[(size_t)we_u] <= end)
+                ++we_u;  // exclusive
+            const int64_t m = we_u - ws_u;
+            if (m <= 0 || n == 0) {
+                end_col_out[r] = wstart > 0xFFFF ? 0xFFFF : (int32_t)wstart;
+                if (is_exact) {
+                    score_out[r] = sat_add16(0, exact_b);
+                    exact_out[r] = 1;
+                }
+                continue;
+            }
+
+            for (int64_t j = 0; j < m; ++j) {
+                const int32_t fb = ufirst[(size_t)(ws_u + j)];
+                const int32_t pb =
+                    j == 0 ? prev0 : ulast[(size_t)(ws_u + j - 1)];
+                int32_t bo = 0;
+                if (fb >= 0x41 && fb <= 0x5A && pb >= 0x61 && pb <= 0x7A)
+                    bo += cap_b;
+                if (is_delim_b(pb) && !is_delim_b(fb)) bo += delim_b;
+                if (include_prefix && j == 0) bo += prefix_b;
+                bonus[(size_t)j] = bo;
+            }
+            int32_t* prow = h0.data();
+            int32_t* row = h1.data();
+            uint8_t* pmm = m0.data();
+            uint8_t* mrow = m1.data();
+            for (int64_t j = 0; j <= m; ++j) {
+                prow[j] = 0;
+                pmm[j] = 0;
+            }
+            for (int64_t i = 1; i <= n; ++i) {
+                const int32_t no = orig[i - 1], nfl = flip[i - 1];
+                row[0] = 0;
+                mrow[0] = 0;
+                for (int64_t j = 1; j <= m; ++j) {
+                    const int32_t h = (int32_t)cp[ws_u + j - 1];
+                    const bool exact_c = h == no;
+                    const bool match = exact_c || h == nfl;
+                    mrow[j] = match;
+                    int32_t diag = prow[j - 1];
+                    if (match)
+                        diag = sat_add16(
+                            diag, ms + mm_pen + bonus[(size_t)(j - 1)]);
+                    diag = sat_sub16(diag, mm_pen);
+                    if (exact_c) diag = sat_add16(diag, case_b);
+                    int32_t up = sat_sub16(prow[j], gap_ext);
+                    if (pmm[j]) up = sat_sub16(up, goe);
+                    int32_t left = sat_sub16(
+                        row[j - 1], gap_ext + (mrow[j - 1] ? goe : 0));
+                    int32_t v = diag > up ? diag : up;
+                    row[j] = v > left ? v : left;
+                }
+                std::swap(prow, row);
+                std::swap(pmm, mrow);
+            }
+            int32_t score = 0;
+            for (int64_t j = 1; j <= m; ++j)
+                if (prow[j] > score) score = prow[j];
+            int64_t ec = wstart;
+            if (score > 0) {
+                for (int64_t j = 1; j <= m; ++j)
+                    if (prow[j] == score) {
+                        ec = uoff[(size_t)(ws_u + j - 1)];
+                        break;
+                    }
+            }
+            if (ec > 0xFFFF) ec = 0xFFFF;
+            if (is_exact) score = sat_add16(score, exact_b);
+            score_out[r] = score;
+            exact_out[r] = is_exact;
+            end_col_out[r] = (int32_t)ec;
+        }
+    }
+}
+
 // Per-row UTF-8 byte counts for a UTF-32 buffer.
 void utf8_lengths(const uint32_t* joined, const int64_t* starts, int64_t n,
                   int64_t* out) {

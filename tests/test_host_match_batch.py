@@ -91,6 +91,49 @@ def test_match_many_scoring_variants():
             _assert_many_equals_oracle(eng, rows)
 
 
+UNI_ALPHA = "abcdeABC_/. éß다漢𝄞01"
+
+
+def gen_uni_rows(rng, n, lo=0, hi=60):
+    return [
+        "".join(rng.choice(UNI_ALPHA) for _ in range(rng.randint(lo, hi)))
+        for _ in range(n)
+    ]
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_match_many_unicode_equals_oracle(seed):
+    """The unicode twin (codepoint prefilter/SW + byte greedy), including
+    multi-byte scalars straddling the start-1 window trim."""
+    rng = random.Random(2000 + seed)
+    rows = gen_uni_rows(rng, 40) + [
+        "é" + "다" * 700 + "B",        # >1024 bytes via 3-byte scalars
+        "é" + "x" * 1500 + "다",       # greedy window
+        "다" * 600,                     # XL in bytes, < cap in units
+        "L" + "é" * 800 + "inux",      # 2-byte scalar at the trim point
+        "", "é", "zz",
+    ]
+    for needle in ("é다", "다漢", "éB"):
+        for typos in (0, 1, None):
+            eng = FuzzyEngine(needle, Config(max_typos=typos))
+            assert eng.unicode
+            _assert_many_equals_oracle(eng, rows)
+
+
+def test_xl_heavy_unicode_device_equals_host():
+    from frizbee_tpu.matcher import Matcher
+
+    rng = random.Random(13)
+    hay = gen_uni_rows(rng, 30) + [
+        "é" + "다" * rng.randint(400, 900) + "B" for _ in range(30)
+    ]
+    rng.shuffle(hay)
+    for typos in (0, 1):
+        dev = Matcher("é다B", Config(max_typos=typos))
+        host = Matcher("é다B", Config(max_typos=typos), use_device=False)
+        assert dev.match_list(hay) == host.match_list(hay), typos
+
+
 @pytest.mark.skipif(native.get_lib() is None, reason="no native toolchain")
 def test_native_equals_fallback():
     """The native batch and the per-row fallback must agree exactly."""
