@@ -225,30 +225,62 @@ class Corpus:
 
     def xl_presence(self):
         """(n_xl, 128) uint8 capped fold-bit occurrence counts for the XL
-        (host-path) rows, computed lazily. Lets the matcher presence-reject
-        XL rows before paying the per-row host pipeline — the host-side
-        twin of the device stage-1 (ops/presence.py)."""
+        (host-path) rows, computed lazily off the resident encoded blob
+        (one vectorized bincount, no per-row Python). Lets the matcher
+        presence-reject XL rows before paying the per-row host pipeline —
+        the host-side twin of the device stage-1 (ops/presence.py)."""
         if not hasattr(self, "_xl_presence"):
-            counts = np.zeros((len(self.xl_indices), 128), np.uint8)
-            for r, i in enumerate(self.xl_indices):
-                if self.unicode:
-                    units = np.frombuffer(
-                        self.haystacks[int(i)].encode("utf-32-le"),
-                        dtype=np.uint32,
-                    ).astype(np.int64)
-                else:
-                    units = np.frombuffer(
-                        self.haystacks[int(i)].encode("utf-8"),
-                        dtype=np.uint8,
-                    ).astype(np.int64)
-                fold = np.where(
-                    (units >= 0x41) & (units <= 0x5A), units + 0x20, units
-                ) & 127
-                cnt = np.bincount(fold, minlength=128)
-                # capped at the device planes' depth (ops/presence.PLANES)
-                counts[r] = np.minimum(cnt, 3)
-            self._xl_presence = counts
+            n_xl = len(self.xl_indices)
+            blob = self.xl_blob()
+            if self.unicode:
+                units = blob["joined_u32"].astype(np.int64)
+                starts = blob["ustarts"]
+            else:
+                units = np.frombuffer(
+                    blob["joined"], dtype=np.uint8
+                ).astype(np.int64)
+                starts = blob["bstarts"]
+            fold = np.where(
+                (units >= 0x41) & (units <= 0x5A), units + 0x20, units
+            ) & 127
+            row_of = np.repeat(np.arange(n_xl, dtype=np.int64),
+                               np.diff(starts))
+            flat = np.bincount(row_of * 128 + fold, minlength=n_xl * 128)
+            # capped at the device planes' depth (ops/presence.PLANES)
+            self._xl_presence = np.minimum(
+                flat.reshape(n_xl, 128), 3
+            ).astype(np.uint8)
         return self._xl_presence
+
+    def xl_blob(self):
+        """Lazily cached encoded blob of the XL (host-path) rows, in
+        ``xl_indices`` order: dict with ``joined``/``bstarts`` (UTF-8) and,
+        for unicode corpora, ``joined_u32``/``ustarts``. Serving batches
+        rescore per-query XL candidate subsets through the native host
+        pipeline; the blob makes each row's encoding a one-time cost
+        instead of a per-query one."""
+        if not hasattr(self, "_xl_blob"):
+            data = [self.haystacks[int(i)].encode("utf-8")
+                    for i in self.xl_indices]
+            bstarts = np.zeros(len(data) + 1, np.int64)
+            np.cumsum([len(d) for d in data], out=bstarts[1:])
+            blob = {"joined": b"".join(data), "bstarts": bstarts}
+            if self.unicode:
+                u32 = [
+                    np.frombuffer(
+                        self.haystacks[int(i)].encode("utf-32-le"),
+                        np.uint32,
+                    )
+                    for i in self.xl_indices
+                ]
+                ustarts = np.zeros(len(u32) + 1, np.int64)
+                np.cumsum([len(u) for u in u32], out=ustarts[1:])
+                blob["joined_u32"] = (
+                    np.concatenate(u32) if u32 else np.zeros(0, np.uint32)
+                )
+                blob["ustarts"] = ustarts
+            self._xl_blob = blob
+        return self._xl_blob
 
     def device_xl_mask(self):
         """Device-resident (n,) bool mask of XL (host-path) rows, cached."""

@@ -116,9 +116,12 @@ class FuzzyEngine:
             self._match_buckets_device(corpus, out)
             if len(corpus.xl_indices):
                 xi = corpus.xl_indices
-                m, s, e, ec = self.match_many(
-                    [corpus.haystacks[int(i)] for i in xi]
-                )
+                res = self.match_xl_rows(corpus, np.arange(len(xi)))
+                if res is None:
+                    res = self.match_many(
+                        [corpus.haystacks[int(i)] for i in xi]
+                    )
+                m, s, e, ec = res
                 out.matched[xi] = m
                 out.score[xi] = s
                 out.exact[xi] = e
@@ -258,18 +261,9 @@ class FuzzyEngine:
         DP cap or the widest bucket) off per-row Python speed."""
         R = len(haystacks)
         if self.units.orig and R:
-            from . import native
-            from .ops.fuzzy import SCORING_FIELDS
-
             data = [h.encode("utf-8") for h in haystacks]
             starts = np.zeros(R + 1, np.int64)
             np.cumsum([len(d) for d in data], out=starts[1:])
-            scoring9 = np.array(
-                [getattr(self.config.scoring, f) for f in SCORING_FIELDS],
-                np.int32,
-            )
-            orig = np.array(self.units.orig, np.int32)
-            flip = np.array(self.units.flip, np.int32)
             if self.unicode:
                 u32 = [
                     np.frombuffer(h.encode("utf-32-le"), np.uint32)
@@ -277,29 +271,16 @@ class FuzzyEngine:
                 ]
                 ustarts = np.zeros(R + 1, np.int64)
                 np.cumsum([len(u) for u in u32], out=ustarts[1:])
-                from .casefold import case_needle_bytes
-
-                pairs = case_needle_bytes(
-                    self.needle_bytes, self.case_sensitive
-                )
-                res = native.host_match_batch_u32(
-                    b"".join(data), starts,
-                    np.concatenate(u32) if u32 else np.zeros(0, np.uint32),
-                    ustarts, orig, flip,
-                    np.array([o for o, _ in pairs], np.int32),
-                    np.array([f for _, f in pairs], np.int32),
-                    scoring9, self.config.max_typos, MAX_HAYSTACK_LEN,
-                    self.min_haystack_len, self.needle_bytes,
+                joined_u32 = (
+                    np.concatenate(u32) if u32 else np.zeros(0, np.uint32)
                 )
             else:
-                res = native.host_match_batch(
-                    b"".join(data), starts, orig, flip,
-                    scoring9, self.config.max_typos, MAX_HAYSTACK_LEN,
-                    self.min_haystack_len, self.needle_bytes,
-                )
+                joined_u32 = ustarts = None
+            res = self._native_batch(
+                b"".join(data), starts, joined_u32, ustarts, None
+            )
             if res is not None:
-                m, s, e, ec = res
-                return m, s.astype(np.int64), e, ec.astype(np.int64)
+                return res
         matched = np.zeros(R, bool)
         score = np.zeros(R, np.int64)
         exact = np.zeros(R, bool)
@@ -311,6 +292,57 @@ class FuzzyEngine:
             matched[r] = True
             score[r], exact[r], end_col[r] = res[0], res[1], res[2]
         return matched, score, exact, end_col
+
+    def match_xl_rows(self, corpus, positions) -> Optional[tuple]:
+        """Native batch over ``corpus.xl_blob()`` rows at ``positions``
+        (indices into ``corpus.xl_indices`` order): the rows stay encoded
+        once per corpus, per-query candidate subsets select via the
+        native row table. Returns None when the native path can't serve
+        (no toolchain, empty needle, or a unicode engine over an
+        ASCII-packed blob) — callers fall back to ``match_many`` on
+        materialized strings, which is also the differential oracle."""
+        if not self.units.orig:
+            return None
+        blob = corpus.xl_blob()
+        if self.unicode and "joined_u32" not in blob:
+            return None
+        return self._native_batch(
+            blob["joined"], blob["bstarts"],
+            blob.get("joined_u32"), blob.get("ustarts"),
+            np.asarray(positions, np.int64),
+        )
+
+    def _native_batch(self, joined, bstarts, joined_u32, ustarts, rows):
+        from . import native
+        from .ops.fuzzy import SCORING_FIELDS
+
+        scoring9 = np.array(
+            [getattr(self.config.scoring, f) for f in SCORING_FIELDS],
+            np.int32,
+        )
+        orig = np.array(self.units.orig, np.int32)
+        flip = np.array(self.units.flip, np.int32)
+        if self.unicode:
+            from .casefold import case_needle_bytes
+
+            pairs = case_needle_bytes(self.needle_bytes, self.case_sensitive)
+            res = native.host_match_batch_u32(
+                joined, bstarts, joined_u32, ustarts, orig, flip,
+                np.array([o for o, _ in pairs], np.int32),
+                np.array([f for _, f in pairs], np.int32),
+                scoring9, self.config.max_typos, MAX_HAYSTACK_LEN,
+                self.min_haystack_len, self.needle_bytes, rows=rows,
+            )
+        else:
+            res = native.host_match_batch(
+                joined, bstarts, orig, flip,
+                scoring9, self.config.max_typos, MAX_HAYSTACK_LEN,
+                self.min_haystack_len, self.needle_bytes, rows=rows,
+            )
+        if res is None:
+            return None
+        m, s, e, ec = res
+        return m, s.astype(np.int64), e, ec.astype(np.int64)
 
     def match_one_indices(self, haystack: str, index: int) -> Optional[MatchIndices]:
         """Score + traceback indices (reference: src/matcher/algo.rs:196-296)."""

@@ -308,29 +308,51 @@ class Matcher:
             corpus, index, score, exact, end_col, greedy
         )
 
-    def _match_many_host(self, rows) -> tuple:
+    def _match_many_host(self, rows, xl=None) -> tuple:
         """Batched host equivalent of ``match_one`` over many haystacks:
         (matched, score, exact, end_col) arrays with the multi-pattern
         combine (sum/OR/max, negation veto — reference:
         src/matcher/multi.rs:84-152). Fuzzy engines run the native
         OpenMP batch (engine.match_many); the per-row ``match_one`` loop
-        stays as the fallback and the differential oracle."""
-        R = len(rows)
+        stays as the fallback and the differential oracle.
+
+        ``rows`` may be a callable returning the haystack list (invoked
+        at most once) when ``xl=(corpus, positions)`` is given — then
+        engines with a blob path (engine.match_xl_rows) score straight
+        off the corpus's resident encoded XL blob and the strings are
+        never materialized."""
+        mat_rows = None if callable(rows) else rows
+
+        def get_rows():
+            nonlocal mat_rows
+            if mat_rows is None:
+                mat_rows = rows()
+            return mat_rows
+
+        R = len(xl[1]) if xl is not None else len(get_rows())
         matched = np.ones(R, bool)
         score = np.zeros(R, np.int64)
         exact = np.zeros(R, bool)
         end_col = np.zeros(R, np.int64)
         for cp in self._compiled:
             eng = cp.engine
-            fn = getattr(eng, "match_many", None)
-            if fn is not None:
-                m, s, e, ec = fn(rows)
+            res = None
+            if xl is not None:
+                fn = getattr(eng, "match_xl_rows", None)
+                if fn is not None:
+                    res = fn(*xl)
+            if res is None:
+                fn = getattr(eng, "match_many", None)
+                if fn is not None:
+                    res = fn(get_rows())
+            if res is not None:
+                m, s, e, ec = res
             else:
                 m = np.zeros(R, bool)
                 s = np.zeros(R, np.int64)
                 e = np.zeros(R, bool)
                 ec = np.zeros(R, np.int64)
-                for r, h in enumerate(rows):
+                for r, h in enumerate(get_rows()):
                     mm = eng.match_one(h, r)
                     if mm is not None:
                         m[r] = True
@@ -367,10 +389,12 @@ class Matcher:
         # gated by a presence reject so corpora with many oversized rows
         # only pay the per-row pipeline for plausible candidates
         if len(corpus.xl_indices):
-            cand = corpus.xl_indices[self._xl_candidates(corpus)]
+            pos = np.nonzero(self._xl_candidates(corpus))[0]
+            cand = corpus.xl_indices[pos]
             if len(cand):
                 xm, xs, xe, xec = self._match_many_host(
-                    [corpus.haystacks[int(i)] for i in cand]
+                    lambda: [corpus.haystacks[int(i)] for i in cand],
+                    xl=(corpus, pos),
                 )
                 if xm.any():
                     index = np.concatenate(
@@ -424,9 +448,14 @@ class Matcher:
                 if fo == ff:
                     need[fo] += 1
             need = np.minimum(need, 3)
-            hits = np.minimum(counts.astype(np.int64), need[None, :]).sum(
-                axis=1
-            )
+            # only the needle's fold bits matter (<= 16 columns of 128),
+            # and the small slice avoids re-casting the whole presence
+            # matrix per query
+            cols = np.nonzero(need)[0]
+            sub = counts[:, cols].astype(np.int16)
+            hits = np.minimum(
+                sub, need[cols][None, :].astype(np.int16)
+            ).sum(axis=1, dtype=np.int32)
             keep &= hits >= int(need.sum()) - int(t)
         return keep
 

@@ -101,7 +101,7 @@ def get_lib():
                     + [ctypes.c_int64]
                 )
                 lib.host_match_batch.argtypes = (
-                    [ctypes.c_char_p, i64p, ctypes.c_int64]
+                    [ctypes.c_char_p, i64p, i64p, ctypes.c_int64]
                     + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
                     + [ctypes.c_void_p]
                     + [ctypes.c_int64] * 3
@@ -109,7 +109,7 @@ def get_lib():
                     + [ctypes.c_void_p] * 4
                 )
                 lib.host_match_batch_u32.argtypes = (
-                    [ctypes.c_char_p, i64p, ctypes.c_void_p, i64p,
+                    [ctypes.c_char_p, i64p, ctypes.c_void_p, i64p, i64p,
                      ctypes.c_int64]
                     + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64] * 2
                     + [ctypes.c_void_p]
@@ -215,18 +215,23 @@ def host_match_batch(
     orig: np.ndarray, flip: np.ndarray,
     scoring9: np.ndarray, max_typos: Optional[int],
     dp_cap: int, min_len: int, needle_bytes: bytes,
+    rows: Optional[np.ndarray] = None,
 ):
     """Batched byte-unit host pipeline (length gate -> prefilter window ->
-    greedy or full SW with exact bonus) over ragged rows. Returns
-    (matched (R,) bool, score (R,), exact (R,) bool, end_col (R,)) or None
-    when the native library is unavailable. Semantics contract:
+    greedy or full SW with exact bonus) over ragged rows. ``rows``
+    selects a subset (result slot r scores row rows[r]) so resident
+    encoded blobs serve per-query candidate sets without re-encoding.
+    Returns (matched (R,) bool, score (R,), exact (R,) bool, end_col (R,))
+    or None when the native library is unavailable. Semantics contract:
     engine._host_pipeline per row (the per-row Python fallback every
     caller keeps is the differential oracle)."""
     lib = get_lib()
     if lib is None:
         return None
     starts = np.ascontiguousarray(starts, np.int64)
-    R = len(starts) - 1
+    R = len(starts) - 1 if rows is None else len(rows)
+    if rows is not None:
+        rows = np.ascontiguousarray(rows, np.int64)
     orig = np.ascontiguousarray(orig, np.int32)
     flip = np.ascontiguousarray(flip, np.int32)
     sc = np.ascontiguousarray(scoring9, np.int32)
@@ -240,7 +245,9 @@ def host_match_batch(
         return a.ctypes.data_as(ctypes.c_void_p)
 
     lib.host_match_batch(
-        joined, _i64p(starts), ctypes.c_int64(R),
+        joined, _i64p(starts),
+        None if rows is None else _i64p(rows),
+        ctypes.c_int64(R),
         vp(orig), vp(flip), ctypes.c_int64(n),
         vp(sc),
         ctypes.c_int64(-1 if max_typos is None else int(max_typos)),
@@ -258,6 +265,7 @@ def host_match_batch_u32(
     orig_b: np.ndarray, flip_b: np.ndarray,
     scoring9: np.ndarray, max_typos: Optional[int],
     dp_cap: int, min_len: int, needle_bytes: bytes,
+    rows: Optional[np.ndarray] = None,
 ):
     """Unicode twin of ``host_match_batch``: codepoint units (+ in-pass
     UTF-8 byte context) for the prefilter/SW, raw bytes + byte-level
@@ -268,7 +276,9 @@ def host_match_batch_u32(
     bstarts = np.ascontiguousarray(bstarts, np.int64)
     ustarts = np.ascontiguousarray(ustarts, np.int64)
     joined_u32 = np.ascontiguousarray(joined_u32, np.uint32)
-    R = len(bstarts) - 1
+    R = len(bstarts) - 1 if rows is None else len(rows)
+    if rows is not None:
+        rows = np.ascontiguousarray(rows, np.int64)
 
     def c32(a):
         return np.ascontiguousarray(a, np.int32)
@@ -286,6 +296,7 @@ def host_match_batch_u32(
     lib.host_match_batch_u32(
         joined, _i64p(bstarts),
         joined_u32.ctypes.data_as(ctypes.c_void_p), _i64p(ustarts),
+        None if rows is None else _i64p(rows),
         ctypes.c_int64(R),
         vp(orig), vp(flip), ctypes.c_int64(len(orig)),
         vp(orig_b), vp(flip_b), ctypes.c_int64(len(orig_b)),

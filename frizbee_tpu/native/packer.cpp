@@ -268,7 +268,12 @@ static inline bool is_delim_b(int32_t b) {
     return b >= 0 && b <= 127 && !letter && !digit;
 }
 
+// ``rows``: optional selection — result slot r scores row rows[r] of the
+// ragged buffer (null = identity), so callers with a resident encoded
+// blob (e.g. the corpus's XL rows) select per-query candidate subsets
+// without re-encoding anything.
 void host_match_batch(const uint8_t* joined, const int64_t* starts,
+                      const int64_t* rows,
                       int64_t R,
                       const int32_t* orig, const int32_t* flip, int64_t n,
                       const int32_t* scoring, int64_t max_typos,
@@ -299,8 +304,9 @@ void host_match_batch(const uint8_t* joined, const int64_t* starts,
             score_out[r] = 0;
             exact_out[r] = 0;
             end_col_out[r] = 0;
-            const uint8_t* hay = joined + starts[r];
-            const int64_t len = starts[r + 1] - starts[r];
+            const int64_t src = rows ? rows[r] : r;
+            const uint8_t* hay = joined + starts[src];
+            const int64_t len = starts[src + 1] - starts[src];
             if (len < min_len) continue;
 
             // -- prefilter window (byte units: byte_off[j] == j) --------
@@ -549,6 +555,7 @@ void host_match_batch(const uint8_t* joined, const int64_t* starts,
 void host_match_batch_u32(
     const uint8_t* joined, const int64_t* bstarts,      // UTF-8 rows
     const uint32_t* joined32, const int64_t* ustarts,   // UTF-32 rows
+    const int64_t* rows,                                // optional selection
     int64_t R,
     const int32_t* orig, const int32_t* flip, int64_t n,       // unit pairs
     const int32_t* orig_b, const int32_t* flip_b, int64_t nb,  // byte pairs
@@ -580,10 +587,11 @@ void host_match_batch_u32(
             score_out[r] = 0;
             exact_out[r] = 0;
             end_col_out[r] = 0;
-            const uint8_t* row_b = joined + bstarts[r];
-            const int64_t len_b = bstarts[r + 1] - bstarts[r];
-            const uint32_t* cp = joined32 + ustarts[r];
-            const int64_t mu = ustarts[r + 1] - ustarts[r];
+            const int64_t src = rows ? rows[r] : r;
+            const uint8_t* row_b = joined + bstarts[src];
+            const int64_t len_b = bstarts[src + 1] - bstarts[src];
+            const uint32_t* cp = joined32 + ustarts[src];
+            const int64_t mu = ustarts[src + 1] - ustarts[src];
             if (len_b < min_len) continue;
 
             // -- byte context per unit (pack_rows_u32 formulas) ---------

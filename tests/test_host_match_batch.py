@@ -135,6 +135,44 @@ def test_xl_heavy_unicode_device_equals_host():
 
 
 @pytest.mark.skipif(native.get_lib() is None, reason="no native toolchain")
+@pytest.mark.parametrize("unicode", [False, True])
+def test_xl_blob_equals_strings(unicode):
+    """The corpus-resident encoded XL blob (row-selection native path)
+    must equal match_many on materialized strings, full set and
+    per-query-style subsets."""
+    from frizbee_tpu.corpus import pack_corpus
+
+    rng = random.Random(31)
+    alpha = UNI_ALPHA if unicode else "abcdeABC_/. 01"
+    hay = (
+        gen_uni_rows(rng, 30) if unicode else gen_rows(rng, 30)
+    ) + [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(1100, 2500)))
+        for _ in range(20)
+    ]
+    corpus = pack_corpus(hay, unicode=unicode)
+    assert len(corpus.xl_indices) >= 20
+    needles = ("é다", "다a") if unicode else ("linux", "aB")
+    for needle in needles:
+        for typos in (0, 2, None):
+            eng = FuzzyEngine(needle, Config(max_typos=typos))
+            if eng.unicode != unicode:
+                continue
+            pos = np.arange(len(corpus.xl_indices))
+            blob_res = eng.match_xl_rows(corpus, pos)
+            assert blob_res is not None
+            rows = [corpus.haystacks[int(i)] for i in corpus.xl_indices]
+            str_res = eng.match_many(rows)
+            for a, b in zip(blob_res, str_res):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            sub = pos[::3]
+            for a, b in zip(eng.match_xl_rows(corpus, sub), str_res):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b)[sub]
+                )
+
+
+@pytest.mark.skipif(native.get_lib() is None, reason="no native toolchain")
 def test_native_equals_fallback():
     """The native batch and the per-row fallback must agree exactly."""
     rng = random.Random(5)
