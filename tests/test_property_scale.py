@@ -132,6 +132,11 @@ def test_multi_pattern_model_256(block):
         expect.sort(key=lambda t: (-t[1], t[0]))
         got = [(m.index, m.score, m.exact) for m in combined]
         assert got == expect
+    # each block compiles ~100 programs (16 cases x 2-4 patterns x the
+    # combined + per-pattern matchers); two blocks in one process reach
+    # the executable-accumulation crash, so don't wait for the periodic
+    # fixture
+    _clear_caches_now()
 
 
 @pytest.mark.parametrize("seed", range(16))
