@@ -61,11 +61,18 @@ REFERENCE_MS_100K = {
     "all_match_16": 8.57, "all_match_64": 10.65, "all_match_128": 18.15,
     "all_scores_128": 18.27,
     "no_match_16": 0.140, "no_match_128": 0.462,
+    # No Match with Partial (0% match / 15% partial), BENCHMARKS.md:147-165
+    "no_match_partial_16": 0.25439, "no_match_partial_128": 0.69258,
     "typo_1_64": 1.85, "typo_2_64": 2.36, "typo_3_64": 3.80,
     "unicode_arabic": 2.60 * 100 / 286,   # per-100k-row scaling
     "unicode_korean": 2.53 * 100 / 281,
-    # Chromium: 22.36 ms / 1.407M rows (BENCHMARKS.md:50-64)
+    # Chromium: 22.36 ms / 1.407M rows (BENCHMARKS.md:50-64); the typo /
+    # All Scores / iterator sequential variants are BENCHMARKS.md:64
     "chromium_like": 22.36 * 100 / 1407,
+    "chromium_like_typo_1": 60.76 * 100 / 1407,
+    "chromium_like_typo_2": 99.15 * 100 / 1407,
+    "chromium_like_all_scores": 84.64 * 100 / 1407,
+    "chromium_like_iter": 24.68 * 100 / 1407,
 }
 
 VARIANTS = [
@@ -240,6 +247,12 @@ def main():
                 run(f"no_match_{L}",
                     no_match_corpus(median_length=L, num_samples=N),
                     "deadbeef", Config(), nq)
+        for L in (16, 128):
+            if want(f"no_match_partial_{L}"):
+                run(f"no_match_partial_{L}",
+                    no_match_corpus(median_length=L, num_samples=N,
+                                    partial=0.15),
+                    "deadbeef", Config(), nq)
     if any(want(f"typo_{t}_64") for t in (1, 2, 3)):
         pm64 = partial_match_corpus(median_length=64, num_samples=N)
         for t in ([1] if args.quick else [1, 2, 3]):
@@ -252,9 +265,47 @@ def main():
                 unicode_corpus(script, num_samples=min(N, 286_000),
                                needle=needle, needle_every=20),
                 needle, Config(), nq)
-    if not args.skip_chromium and want("chromium_like"):
-        rows.append(bench_config(
-            "chromium_like", chromium_like_corpus(), "linux", Config(), nq))
+    if not args.skip_chromium and any(
+        want(n) for n in ("chromium_like", "chromium_like_typo_1",
+                          "chromium_like_typo_2", "chromium_like_all_scores",
+                          "chromium_like_iter")
+    ):
+        chromium = chromium_like_corpus()
+        if want("chromium_like"):
+            run("chromium_like", chromium, "linux", Config(), nq)
+        for t in (1, 2):
+            if want(f"chromium_like_typo_{t}"):
+                run(f"chromium_like_typo_{t}", chromium, "linux",
+                    Config(max_typos=t), nq)
+        if want("chromium_like_all_scores"):
+            run("chromium_like_all_scores", chromium, "linux",
+                Config(max_typos=None), nq)
+        if want("chromium_like_iter"):
+            # sequential iterator API over raw strings (the reference's
+            # match_iter row, ~10% off its list path); chunks stream
+            # through the batched engine incl. packing per chunk
+            try:
+                m = Matcher("linux", Config())
+                list(m.match_iter(chromium[:20000]))  # warm compiles
+                t0 = time.perf_counter()
+                n_m = sum(1 for _ in m.match_iter(chromium))
+                dt = time.perf_counter() - t0
+                ref = 100_000 / (REFERENCE_MS_100K["chromium_like_iter"]
+                                 / 1e3)
+                hps = round(len(chromium) / dt)
+                rows.append({
+                    "config": "chromium_like_iter",
+                    "haystacks": len(chromium), "matches": n_m,
+                    "latency_ms": round(dt * 1e3, 3),
+                    "serving_ms_per_query": None,
+                    "haystacks_per_sec_serving": hps,
+                    "reference_haystacks_per_sec": round(ref),
+                    "vs_reference": round(hps / ref, 3),
+                })
+                print(json.dumps(rows[-1]), flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"config": "chromium_like_iter",
+                                  "error": repr(e)[:200]}), flush=True)
     if want("xl_heavy"):
         # long-context shape: every row beyond the widest device bucket
         # runs the batched native host pipeline (no reference row exists
