@@ -29,38 +29,28 @@ NEEDLE_ALPHA = "abcdeéA_d. 01"
 pytestmark = pytest.mark.slow
 
 
-_tests_since_clear = 0
-
-
 @pytest.fixture(autouse=True)
-def _clear_caches_periodically():
-    """These blocks compile many program shapes inside one module; XLA's
-    CPU backend segfaults in backend_compile once enough executables
-    accumulate in one process (the same failure conftest's per-module
-    clearing guards against, at a finer grain). Clearing after EVERY test
-    would also work but forfeits all program sharing across blocks (the
-    shape space is quantized, so later blocks mostly reuse earlier
-    compiles) and pushes the suite past an hour; every 4 tests keeps
-    accumulation well under the crash threshold while retaining most of
-    the sharing. Run this module under ``-n 8`` (pytest-xdist) — worker
-    processes add hard isolation on top and cut the wall time to
-    minutes."""
+def _clear_caches_per_test():
+    """These blocks compile many program shapes; XLA's CPU backend
+    segfaults in backend_compile once enough executables accumulate in
+    one process (the same failure conftest's per-module clearing guards
+    against, at a finer grain). Clearing only every few tests was tried
+    and crashes: a multi-pattern block alone compiles ~100 programs, and
+    under pytest-xdist's load distribution tests from other modules
+    interleave in the same worker, so the only safe policy is a clear
+    after EVERY test here (the measured wall-time saving of coarser
+    clearing was ~nil — shape sharing across random blocks is small).
+    Run this module under ``-n 8`` (pytest-xdist): worker processes add
+    hard isolation and cut the wall time to minutes."""
     yield
-    global _tests_since_clear
-    _tests_since_clear += 1
-    if _tests_since_clear >= 4:
-        jax.clear_caches()
-        _tests_since_clear = 0
+    jax.clear_caches()
 
 
 def _clear_caches_now():
-    """Immediate clear for the heaviest blocks (each mesh serving block
-    compiles dozens of shard_map programs — one block alone can reach the
-    executable-accumulation crash threshold, so they can't wait out the
-    periodic fixture)."""
-    global _tests_since_clear
+    """Immediate clear inside the heaviest blocks (mesh serving and
+    multi-pattern model blocks compile enough programs that even a
+    single block benefits from clearing before the fixture fires)."""
     jax.clear_caches()
-    _tests_since_clear = 0
 
 
 def gen_corpus(rng, n, max_len=40):
