@@ -261,24 +261,7 @@ class FuzzyEngine:
         DP cap or the widest bucket) off per-row Python speed."""
         R = len(haystacks)
         if self.units.orig and R:
-            data = [h.encode("utf-8") for h in haystacks]
-            starts = np.zeros(R + 1, np.int64)
-            np.cumsum([len(d) for d in data], out=starts[1:])
-            if self.unicode:
-                u32 = [
-                    np.frombuffer(h.encode("utf-32-le"), np.uint32)
-                    for h in haystacks
-                ]
-                ustarts = np.zeros(R + 1, np.int64)
-                np.cumsum([len(u) for u in u32], out=ustarts[1:])
-                joined_u32 = (
-                    np.concatenate(u32) if u32 else np.zeros(0, np.uint32)
-                )
-            else:
-                joined_u32 = ustarts = None
-            res = self._native_batch(
-                b"".join(data), starts, joined_u32, ustarts, None
-            )
+            res = self._native_batch(*self._encode_rows(haystacks), None)
             if res is not None:
                 return res
         matched = np.zeros(R, bool)
@@ -292,6 +275,50 @@ class FuzzyEngine:
             matched[r] = True
             score[r], exact[r], end_col[r] = res[0], res[1], res[2]
         return matched, score, exact, end_col
+
+    def _encode_rows(self, haystacks):
+        """(joined, starts, joined_u32, ustarts) ragged buffers for the
+        native batch (u32 parts None on the byte-unit path)."""
+        R = len(haystacks)
+        data = [h.encode("utf-8") for h in haystacks]
+        starts = np.zeros(R + 1, np.int64)
+        np.cumsum([len(d) for d in data], out=starts[1:])
+        if self.unicode:
+            u32 = [
+                np.frombuffer(h.encode("utf-32-le"), np.uint32)
+                for h in haystacks
+            ]
+            ustarts = np.zeros(R + 1, np.int64)
+            np.cumsum([len(u) for u in u32], out=ustarts[1:])
+            joined_u32 = (
+                np.concatenate(u32) if u32 else np.zeros(0, np.uint32)
+            )
+        else:
+            joined_u32 = ustarts = None
+        return b"".join(data), starts, joined_u32, ustarts
+
+    def match_many_indices(self, haystacks) -> Optional[list]:
+        """Native batched score + traceback over rows: per row ``None``
+        (no match) or ``(score, exact, reversed matched byte offsets)``
+        — the MatchIndices contract, typo budget enforced by the walk.
+        Returns None when the native path can't serve; callers keep the
+        per-row ``match_one_indices`` oracle as the fallback (and the
+        differential twin)."""
+        if not self.units.orig or not haystacks:
+            return None
+        cap = max(4 * len(self.units.orig), len(self.needle_bytes), 1)
+        res = self._native_batch(
+            *self._encode_rows(haystacks), None, indices_cap=cap
+        )
+        if res is None:
+            return None
+        m, s, e, ec, idx, icnt = res
+        return [
+            (int(s[r]), bool(e[r]), idx[r, : icnt[r]].tolist())
+            if m[r]
+            else None
+            for r in range(len(haystacks))
+        ]
 
     def match_xl_rows(self, corpus, positions) -> Optional[tuple]:
         """Native batch over ``corpus.xl_blob()`` rows at ``positions``
@@ -312,7 +339,8 @@ class FuzzyEngine:
             np.asarray(positions, np.int64),
         )
 
-    def _native_batch(self, joined, bstarts, joined_u32, ustarts, rows):
+    def _native_batch(self, joined, bstarts, joined_u32, ustarts, rows,
+                      indices_cap=0):
         from . import native
         from .ops.fuzzy import SCORING_FIELDS
 
@@ -332,17 +360,20 @@ class FuzzyEngine:
                 np.array([f for _, f in pairs], np.int32),
                 scoring9, self.config.max_typos, MAX_HAYSTACK_LEN,
                 self.min_haystack_len, self.needle_bytes, rows=rows,
+                indices_cap=indices_cap,
             )
         else:
             res = native.host_match_batch(
                 joined, bstarts, orig, flip,
                 scoring9, self.config.max_typos, MAX_HAYSTACK_LEN,
                 self.min_haystack_len, self.needle_bytes, rows=rows,
+                indices_cap=indices_cap,
             )
         if res is None:
             return None
-        m, s, e, ec = res
-        return m, s.astype(np.int64), e, ec.astype(np.int64)
+        m, s, e, ec = res[:4]
+        out = (m, s.astype(np.int64), e, ec.astype(np.int64))
+        return out + res[4:] if indices_cap else out
 
     def match_one_indices(self, haystack: str, index: int) -> Optional[MatchIndices]:
         """Score + traceback indices (reference: src/matcher/algo.rs:196-296)."""

@@ -107,6 +107,7 @@ def get_lib():
                     + [ctypes.c_int64] * 3
                     + [ctypes.c_char_p, ctypes.c_int64]
                     + [ctypes.c_void_p] * 4
+                    + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
                 )
                 lib.host_match_batch_u32.argtypes = (
                     [ctypes.c_char_p, i64p, ctypes.c_void_p, i64p, i64p,
@@ -116,6 +117,7 @@ def get_lib():
                     + [ctypes.c_int64] * 3
                     + [ctypes.c_char_p, ctypes.c_int64]
                     + [ctypes.c_void_p] * 4
+                    + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
                 )
                 _lib = lib
             except Exception:
@@ -216,14 +218,17 @@ def host_match_batch(
     scoring9: np.ndarray, max_typos: Optional[int],
     dp_cap: int, min_len: int, needle_bytes: bytes,
     rows: Optional[np.ndarray] = None,
+    indices_cap: int = 0,
 ):
     """Batched byte-unit host pipeline (length gate -> prefilter window ->
     greedy or full SW with exact bonus) over ragged rows. ``rows``
     selects a subset (result slot r scores row rows[r]) so resident
     encoded blobs serve per-query candidate sets without re-encoding.
     Returns (matched (R,) bool, score (R,), exact (R,) bool, end_col (R,))
-    or None when the native library is unavailable. Semantics contract:
-    engine._host_pipeline per row (the per-row Python fallback every
+    — plus (idx (R, indices_cap), icnt (R,)) reversed matched byte
+    offsets when ``indices_cap`` > 0 — or None when the native library
+    is unavailable. Semantics contract: engine._host_pipeline /
+    engine.match_one_indices per row (the per-row Python fallback every
     caller keeps is the differential oracle)."""
     lib = get_lib()
     if lib is None:
@@ -240,9 +245,15 @@ def host_match_batch(
     score = np.empty(R, np.int32)
     exact = np.empty(R, np.uint8)
     end_col = np.empty(R, np.int32)
+    idx = icnt = None
+    if indices_cap:
+        idx = np.empty((R, indices_cap), np.int32)
+        icnt = np.empty(R, np.int32)
 
     def vp(a):
-        return a.ctypes.data_as(ctypes.c_void_p)
+        return (
+            a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
+        )
 
     lib.host_match_batch(
         joined, _i64p(starts),
@@ -254,8 +265,10 @@ def host_match_batch(
         ctypes.c_int64(dp_cap), ctypes.c_int64(min_len),
         needle_bytes, ctypes.c_int64(len(needle_bytes)),
         vp(matched), vp(score), vp(exact), vp(end_col),
+        vp(idx), vp(icnt), ctypes.c_int64(indices_cap),
     )
-    return matched.astype(bool), score, exact.astype(bool), end_col
+    out = (matched.astype(bool), score, exact.astype(bool), end_col)
+    return out + (idx, icnt) if indices_cap else out
 
 
 def host_match_batch_u32(
@@ -266,6 +279,7 @@ def host_match_batch_u32(
     scoring9: np.ndarray, max_typos: Optional[int],
     dp_cap: int, min_len: int, needle_bytes: bytes,
     rows: Optional[np.ndarray] = None,
+    indices_cap: int = 0,
 ):
     """Unicode twin of ``host_match_batch``: codepoint units (+ in-pass
     UTF-8 byte context) for the prefilter/SW, raw bytes + byte-level
@@ -289,9 +303,15 @@ def host_match_batch_u32(
     score = np.empty(R, np.int32)
     exact = np.empty(R, np.uint8)
     end_col = np.empty(R, np.int32)
+    idx = icnt = None
+    if indices_cap:
+        idx = np.empty((R, indices_cap), np.int32)
+        icnt = np.empty(R, np.int32)
 
     def vp(a):
-        return a.ctypes.data_as(ctypes.c_void_p)
+        return (
+            a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
+        )
 
     lib.host_match_batch_u32(
         joined, _i64p(bstarts),
@@ -305,8 +325,10 @@ def host_match_batch_u32(
         ctypes.c_int64(dp_cap), ctypes.c_int64(min_len),
         needle_bytes, ctypes.c_int64(len(needle_bytes)),
         vp(matched), vp(score), vp(exact), vp(end_col),
+        vp(idx), vp(icnt), ctypes.c_int64(indices_cap),
     )
-    return matched.astype(bool), score, exact.astype(bool), end_col
+    out = (matched.astype(bool), score, exact.astype(bool), end_col)
+    return out + (idx, icnt) if indices_cap else out
 
 
 def utf8_lengths(joined_u32: np.ndarray, starts: np.ndarray

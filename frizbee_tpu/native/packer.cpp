@@ -268,10 +268,72 @@ static inline bool is_delim_b(int32_t b) {
     return b >= 0 && b <= 127 && !letter && !digit;
 }
 
+// Traceback walk over a filled (n+1)x(m+1) score/match-mask matrix pair:
+// first final-row column holding the max, diag on match, else
+// max(diag, left, up); Mismatch/Up moves spend the typo budget and the
+// walk truncates when it is exceeded (score kept, indices cut) —
+// semantics contract: oracle/smith_waterman.sw_indices, identical to
+// sw_indices_batch's walk. Matched units emit their byte offsets in
+// reverse order: per-unit (uoff, ulen) arrays over the window when
+// given, else ASCII bytes at wstart + unit. Returns the count written.
+static int32_t walk_indices(const int32_t* H, const uint8_t* MM, int64_t n,
+                            int64_t m, int32_t score, int64_t max_typos,
+                            const int32_t* uoff, const int32_t* ulen,
+                            int64_t wstart, int32_t* out, int64_t icap) {
+    const int64_t stride = m + 1;
+    const int32_t* fin = H + (size_t)(n * stride);
+    int64_t col = 1;
+    while (fin[col] != score) ++col;
+    int64_t row_i = n;
+    int32_t cur = score;
+    int64_t typo = 0;
+    int32_t cnt = 0;
+    while (row_i > 0) {
+        if (max_typos >= 0 && typo > max_typos) break;
+        if (col < 1 || cur == 0) break;
+        if (MM[(size_t)(row_i * stride + col)]) {
+            const int64_t unit = col - 1;
+            if (uoff) {
+                const int32_t off = uoff[(size_t)unit];
+                for (int32_t b = ulen[(size_t)unit] - 1;
+                     b >= 0 && cnt < icap; --b)
+                    out[cnt++] = off + b;
+            } else if (cnt < icap) {
+                out[cnt++] = (int32_t)(wstart + unit);
+            }
+            --row_i;
+            --col;
+            cur = H[(size_t)(row_i * stride + col)];
+            continue;
+        }
+        const int32_t diag = H[(size_t)((row_i - 1) * stride + col - 1)];
+        const int32_t left = H[(size_t)(row_i * stride + col - 1)];
+        const int32_t up = H[(size_t)((row_i - 1) * stride + col)];
+        if (diag >= left && diag >= up) {
+            --row_i;
+            --col;
+            ++typo;
+            cur = diag;
+        } else if (left >= up) {
+            --col;
+            cur = left;
+        } else {
+            --row_i;
+            ++typo;
+            cur = up;
+        }
+    }
+    return cnt;
+}
+
 // ``rows``: optional selection — result slot r scores row rows[r] of the
 // ragged buffer (null = identity), so callers with a resident encoded
 // blob (e.g. the corpus's XL rows) select per-query candidate subsets
 // without re-encoding anything.
+// ``idx_out``/``icnt_out`` (optional, with per-row capacity ``icap``):
+// matched byte offsets in reverse order, the MatchIndices contract —
+// greedy matches recorded in-scan, SW matches via a full-matrix
+// traceback walk (engine.match_one_indices is the per-row oracle).
 void host_match_batch(const uint8_t* joined, const int64_t* starts,
                       const int64_t* rows,
                       int64_t R,
@@ -280,7 +342,8 @@ void host_match_batch(const uint8_t* joined, const int64_t* starts,
                       int64_t dp_cap, int64_t min_len,
                       const uint8_t* needle_bytes, int64_t needle_len,
                       uint8_t* matched_out, int32_t* score_out,
-                      uint8_t* exact_out, int32_t* end_col_out) {
+                      uint8_t* exact_out, int32_t* end_col_out,
+                      int32_t* idx_out, int32_t* icnt_out, int64_t icap) {
     const int32_t ms = scoring[0], mm_pen = scoring[1];
     const int32_t gap_open = scoring[2], gap_ext = scoring[3];
     const int32_t prefix_b = scoring[4], cap_b = scoring[5];
@@ -288,15 +351,25 @@ void host_match_batch(const uint8_t* joined, const int64_t* starts,
     const int32_t delim_b = scoring[8];
     const int32_t goe = sat_sub16(gap_open, gap_ext);
     const int64_t T = max_typos;  // -1 = no prefilter
+    const bool want_idx = idx_out != nullptr;
 
 #pragma omp parallel
     {
         // rolling SW rows + match masks + per-window bonuses (window
-        // length is <= dp_cap on the SW branch)
+        // length is <= dp_cap on the SW branch); full matrices only for
+        // the traceback variant
         std::vector<int32_t> h0((size_t)dp_cap + 1), h1((size_t)dp_cap + 1);
         std::vector<uint8_t> m0((size_t)dp_cap + 1), m1((size_t)dp_cap + 1);
         std::vector<int32_t> bonus((size_t)dp_cap);
         std::vector<int64_t> f, nf;  // typo DP states
+        std::vector<int32_t> Hf;
+        std::vector<uint8_t> Mf;
+        std::vector<int64_t> gidx;  // greedy matched positions (<= n)
+        if (want_idx) {
+            Hf.resize((size_t)(n + 1) * (dp_cap + 1));
+            Mf.resize((size_t)(n + 1) * (dp_cap + 1));
+            gidx.reserve((size_t)n);
+        }
 
 #pragma omp for schedule(dynamic, 8)
         for (int64_t r = 0; r < R; ++r) {
@@ -304,6 +377,7 @@ void host_match_batch(const uint8_t* joined, const int64_t* starts,
             score_out[r] = 0;
             exact_out[r] = 0;
             end_col_out[r] = 0;
+            if (want_idx) icnt_out[r] = 0;
             const int64_t src = rows ? rows[r] : r;
             const uint8_t* hay = joined + starts[src];
             const int64_t len = starts[src + 1] - starts[src];
@@ -417,6 +491,7 @@ void host_match_batch(const uint8_t* joined, const int64_t* starts,
                 bool prev_lower = false;
                 bool prev_delim = false;
                 bool ok = true;
+                if (want_idx) gidx.clear();
                 for (int64_t k = 0; k < n; ++k) {
                     const int64_t hstart = hi;
                     const int64_t limit = m - n + k;
@@ -455,6 +530,7 @@ void host_match_batch(const uint8_t* joined, const int64_t* starts,
                         prev_delim = deb && h_delim;
                         prev_lower = h_lower;
                         last_idx = hi;
+                        if (want_idx) gidx.push_back(hi);
                         ++hi;
                         found = true;
                         break;
@@ -473,6 +549,14 @@ void host_match_batch(const uint8_t* joined, const int64_t* starts,
                 score_out[r] = score;
                 exact_out[r] = is_exact;
                 end_col_out[r] = (int32_t)ec;
+                if (want_idx) {
+                    int32_t* out = idx_out + r * icap;
+                    int32_t cnt = 0;
+                    for (int64_t g = (int64_t)gidx.size() - 1;
+                         g >= 0 && cnt < icap; --g)
+                        out[cnt++] = (int32_t)(gidx[(size_t)g] + wstart);
+                    icnt_out[r] = cnt;
+                }
                 continue;
             }
 
@@ -487,16 +571,25 @@ void host_match_batch(const uint8_t* joined, const int64_t* starts,
                 if (include_prefix && j == 0) bo += prefix_b;
                 bonus[(size_t)j] = bo;
             }
+            const int64_t stride = m + 1;
             int32_t* prow = h0.data();
             int32_t* row = h1.data();
             uint8_t* pmm = m0.data();
             uint8_t* mrow = m1.data();
+            if (want_idx) {
+                prow = Hf.data();
+                pmm = Mf.data();
+            }
             for (int64_t j = 0; j <= m; ++j) {
                 prow[j] = 0;
                 pmm[j] = 0;
             }
             for (int64_t i = 1; i <= n; ++i) {
                 const int32_t no = orig[i - 1], nfl = flip[i - 1];
+                if (want_idx) {
+                    row = Hf.data() + (size_t)(i * stride);
+                    mrow = Mf.data() + (size_t)(i * stride);
+                }
                 row[0] = 0;
                 mrow[0] = 0;
                 for (int64_t j = 1; j <= m; ++j) {
@@ -517,8 +610,13 @@ void host_match_batch(const uint8_t* joined, const int64_t* starts,
                     int32_t v = diag > up ? diag : up;
                     row[j] = v > left ? v : left;
                 }
-                std::swap(prow, row);
-                std::swap(pmm, mrow);
+                if (want_idx) {
+                    prow = row;
+                    pmm = mrow;
+                } else {
+                    std::swap(prow, row);
+                    std::swap(pmm, mrow);
+                }
             }
             // prow now holds the final needle row
             int32_t score = 0;
@@ -533,6 +631,11 @@ void host_match_batch(const uint8_t* joined, const int64_t* starts,
                     }
             }
             if (ec > 0xFFFF) ec = 0xFFFF;
+            if (want_idx && score > 0) {
+                icnt_out[r] = walk_indices(
+                    Hf.data(), Mf.data(), n, m, score, max_typos,
+                    nullptr, nullptr, wstart, idx_out + r * icap, icap);
+            }
             if (is_exact) score = sat_add16(score, exact_b);
             score_out[r] = score;
             exact_out[r] = is_exact;
@@ -563,7 +666,8 @@ void host_match_batch_u32(
     int64_t dp_cap, int64_t min_len,
     const uint8_t* needle_bytes, int64_t needle_len,
     uint8_t* matched_out, int32_t* score_out,
-    uint8_t* exact_out, int32_t* end_col_out) {
+    uint8_t* exact_out, int32_t* end_col_out,
+    int32_t* idx_out, int32_t* icnt_out, int64_t icap) {
     const int32_t ms = scoring[0], mm_pen = scoring[1];
     const int32_t gap_open = scoring[2], gap_ext = scoring[3];
     const int32_t prefix_b = scoring[4], cap_b = scoring[5];
@@ -571,6 +675,7 @@ void host_match_batch_u32(
     const int32_t delim_b = scoring[8];
     const int32_t goe = sat_sub16(gap_open, gap_ext);
     const int64_t T = max_typos;
+    const bool want_idx = idx_out != nullptr;
 
 #pragma omp parallel
     {
@@ -580,6 +685,14 @@ void host_match_batch_u32(
         std::vector<int64_t> f, nf;
         // per-unit byte context for the current row (grows to row size)
         std::vector<int32_t> ufirst, ulast, uoff, ulen;
+        std::vector<int32_t> Hf;
+        std::vector<uint8_t> Mf;
+        std::vector<int64_t> gidx;
+        if (want_idx) {
+            Hf.resize((size_t)(n + 1) * (dp_cap + 1));
+            Mf.resize((size_t)(n + 1) * (dp_cap + 1));
+            gidx.reserve((size_t)nb);
+        }
 
 #pragma omp for schedule(dynamic, 8)
         for (int64_t r = 0; r < R; ++r) {
@@ -587,6 +700,7 @@ void host_match_batch_u32(
             score_out[r] = 0;
             exact_out[r] = 0;
             end_col_out[r] = 0;
+            if (want_idx) icnt_out[r] = 0;
             const int64_t src = rows ? rows[r] : r;
             const uint8_t* row_b = joined + bstarts[src];
             const int64_t len_b = bstarts[src + 1] - bstarts[src];
@@ -732,6 +846,7 @@ void host_match_batch_u32(
                 int64_t hi = 0, last_idx = 0;
                 bool deb = false, prev_lower = false, prev_delim = false;
                 bool ok = true;
+                if (want_idx) gidx.clear();
                 for (int64_t k = 0; k < nb; ++k) {
                     const int64_t hstart = hi;
                     const int64_t limit = m - nb + k;
@@ -770,6 +885,7 @@ void host_match_batch_u32(
                         prev_delim = deb && h_delim;
                         prev_lower = h_lower;
                         last_idx = hi;
+                        if (want_idx) gidx.push_back(hi);
                         ++hi;
                         found = true;
                         break;
@@ -788,6 +904,14 @@ void host_match_batch_u32(
                 score_out[r] = score;
                 exact_out[r] = is_exact;
                 end_col_out[r] = (int32_t)ec;
+                if (want_idx) {
+                    int32_t* out = idx_out + r * icap;
+                    int32_t cnt = 0;
+                    for (int64_t g = (int64_t)gidx.size() - 1;
+                         g >= 0 && cnt < icap; --g)
+                        out[cnt++] = (int32_t)(gidx[(size_t)g] + wstart);
+                    icnt_out[r] = cnt;
+                }
                 continue;
             }
 
@@ -836,16 +960,25 @@ void host_match_batch_u32(
                 if (include_prefix && j == 0) bo += prefix_b;
                 bonus[(size_t)j] = bo;
             }
+            const int64_t stride = m + 1;
             int32_t* prow = h0.data();
             int32_t* row = h1.data();
             uint8_t* pmm = m0.data();
             uint8_t* mrow = m1.data();
+            if (want_idx) {
+                prow = Hf.data();
+                pmm = Mf.data();
+            }
             for (int64_t j = 0; j <= m; ++j) {
                 prow[j] = 0;
                 pmm[j] = 0;
             }
             for (int64_t i = 1; i <= n; ++i) {
                 const int32_t no = orig[i - 1], nfl = flip[i - 1];
+                if (want_idx) {
+                    row = Hf.data() + (size_t)(i * stride);
+                    mrow = Mf.data() + (size_t)(i * stride);
+                }
                 row[0] = 0;
                 mrow[0] = 0;
                 for (int64_t j = 1; j <= m; ++j) {
@@ -866,8 +999,13 @@ void host_match_batch_u32(
                     int32_t v = diag > up ? diag : up;
                     row[j] = v > left ? v : left;
                 }
-                std::swap(prow, row);
-                std::swap(pmm, mrow);
+                if (want_idx) {
+                    prow = row;
+                    pmm = mrow;
+                } else {
+                    std::swap(prow, row);
+                    std::swap(pmm, mrow);
+                }
             }
             int32_t score = 0;
             for (int64_t j = 1; j <= m; ++j)
@@ -881,6 +1019,12 @@ void host_match_batch_u32(
                     }
             }
             if (ec > 0xFFFF) ec = 0xFFFF;
+            if (want_idx && score > 0) {
+                icnt_out[r] = walk_indices(
+                    Hf.data(), Mf.data(), n, m, score, max_typos,
+                    uoff.data() + ws_u, ulen.data() + ws_u, 0,
+                    idx_out + r * icap, icap);
+            }
             if (is_exact) score = sat_add16(score, exact_b);
             score_out[r] = score;
             exact_out[r] = is_exact;

@@ -385,4 +385,20 @@ def batched_match_indices(engine, haystacks: List[str]) -> List[Optional[tuple]]
                 s = min(s + scoring.exact_match_bonus, 0xFFFF)
             inds = row_inds(r) if s > 0 else []
             results[gi] = (s, exact, inds)
+
+    # Long rows the bucket walk can't cover — greedy windows beyond the
+    # DP cap and XL rows beyond the widest bucket — run the batched
+    # native host pipeline with traceback (host_match_batch indices);
+    # rows it can't serve stay None and fall back to the per-row
+    # match_one_indices oracle in the caller.
+    if not _FORCE_NUMPY:
+        missing = [i for i, r in enumerate(results) if r is None]
+        if missing:
+            nat = engine.match_many_indices(
+                [haystacks[i] for i in missing]
+            )
+            if nat is not None:
+                for i, r in zip(missing, nat):
+                    if r is not None:
+                        results[i] = r
     return results

@@ -134,6 +134,63 @@ def test_xl_heavy_unicode_device_equals_host():
         assert dev.match_list(hay) == host.match_list(hay), typos
 
 
+@pytest.mark.parametrize("seed", range(2))
+def test_match_many_indices_equals_oracle(seed):
+    """Batched native traceback (greedy in-scan indices + full-matrix SW
+    walk) == per-row match_one_indices, ASCII and unicode, long and
+    short rows, across typo budgets."""
+    rng = random.Random(4000 + seed)
+    for needle, uni in (("deadbeef", False), ("é다", True)):
+        alpha = UNI_ALPHA if uni else "abcdefABC_/. 01"
+        rows = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(0, 60)))
+            for _ in range(30)
+        ] + [
+            "".join(
+                rng.choice(alpha) for _ in range(rng.randint(1100, 2400))
+            )
+            for _ in range(6)
+        ] + [needle, needle * 300, ""]
+        for typos in (0, 1, None):
+            eng = FuzzyEngine(needle, Config(max_typos=typos))
+            nat = eng.match_many_indices(rows)
+            if nat is None:
+                pytest.skip("no native toolchain")
+            for r, h in enumerate(rows):
+                want = eng.match_one_indices(h, r)
+                got = nat[r]
+                if want is None:
+                    assert got is None, (needle, typos, r)
+                else:
+                    assert got is not None, (needle, typos, r)
+                    assert got[0] == want.score and got[1] == want.exact
+                    if want.score > 0:
+                        assert got[2] == want.indices, (needle, typos, r)
+
+
+def test_match_list_indices_xl_heavy_device_equals_host():
+    from frizbee_tpu.matcher import Matcher
+
+    rng = random.Random(41)
+    hay = gen_rows(rng, 40) + [
+        "".join(
+            rng.choice("abcdefABC_/. 01")
+            for _ in range(rng.randint(1100, 2200))
+        )
+        for _ in range(30)
+    ]
+    for typos in (0, 1):
+        dev = Matcher("deadbeef", Config(max_typos=typos))
+        host = Matcher(
+            "deadbeef", Config(max_typos=typos), use_device=False
+        )
+        d = dev.match_list_indices(hay)
+        h = host.match_list_indices(hay)
+        assert [(m.index, m.score, m.exact, m.indices) for m in d] == [
+            (m.index, m.score, m.exact, m.indices) for m in h
+        ], typos
+
+
 @pytest.mark.skipif(native.get_lib() is None, reason="no native toolchain")
 @pytest.mark.parametrize("unicode", [False, True])
 def test_xl_blob_equals_strings(unicode):
