@@ -48,7 +48,37 @@ def _queries(q):
     return out[:q]
 
 
+def _device_reachable(timeout_s: float = 180.0) -> bool:
+    """Bounded backend probe: the tunneled TPU's jax.devices() HANGS
+    (not errors) when the relay is down, which would make the whole
+    bench time out silently. A daemon thread bounds the wait so an
+    unreachable device yields an honest, parseable error line instead."""
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        import jax
+
+        jax.devices()
+        ok.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    return ok.wait(timeout_s)
+
+
 def main():
+    if not _device_reachable():
+        print(json.dumps({
+            "metric": "partial_match_1m_len64_topk_serving_haystacks_per_sec",
+            "value": None,
+            "unit": "haystacks/s",
+            "vs_baseline": None,
+            "error": "device backend unreachable within 180s "
+                     "(axon tunnel down); no measurement taken",
+        }))
+        return
+
     from frizbee_tpu.config import Config
     from frizbee_tpu.corpus import pack_corpus
     from frizbee_tpu.datagen import partial_match_corpus
