@@ -48,11 +48,21 @@ def _queries(q):
     return out[:q]
 
 
-def _device_reachable(timeout_s: float = 180.0) -> bool:
-    """Bounded backend probe: the tunneled TPU's jax.devices() HANGS
-    (not errors) when the relay is down, which would make the whole
-    bench time out silently. A daemon thread bounds the wait so an
-    unreachable device yields an honest, parseable error line instead."""
+METRIC = "partial_match_1m_len64_topk_serving_haystacks_per_sec"
+
+# The tunneled device can drop mid-run, and jax.devices() HANGS (not
+# errors) while the relay is down — so the probe retries over a window
+# and the measurement runs under a deadline with staged partial results,
+# so a flaky tunnel yields the best measurement taken instead of nothing
+# (round-2 bench was lost to exactly this).
+PROBE_ATTEMPTS = 4
+PROBE_TIMEOUT_S = 150.0
+PROBE_RETRY_SLEEP_S = 30.0
+MEASURE_DEADLINE_S = 1800.0  # covers cold Mosaic compiles on a slow link
+
+
+def _device_reachable(timeout_s: float = PROBE_TIMEOUT_S) -> bool:
+    """Bounded backend probe (a daemon thread bounds the hang)."""
     import threading
 
     ok = threading.Event()
@@ -67,17 +77,66 @@ def _device_reachable(timeout_s: float = 180.0) -> bool:
     return ok.wait(timeout_s)
 
 
+def _emit(value, vs_baseline, extra=None, error=None):
+    line = {
+        "metric": METRIC,
+        "value": value,
+        "unit": "haystacks/s",
+        "vs_baseline": vs_baseline,
+    }
+    if extra:
+        line["extra"] = extra
+    if error:
+        line["error"] = error
+    print(json.dumps(line))
+
+
 def main():
-    if not _device_reachable():
-        print(json.dumps({
-            "metric": "partial_match_1m_len64_topk_serving_haystacks_per_sec",
-            "value": None,
-            "unit": "haystacks/s",
-            "vs_baseline": None,
-            "error": "device backend unreachable within 180s "
-                     "(axon tunnel down); no measurement taken",
-        }))
+    import threading
+
+    for attempt in range(PROBE_ATTEMPTS):
+        if _device_reachable():
+            break
+        if attempt + 1 < PROBE_ATTEMPTS:
+            time.sleep(PROBE_RETRY_SLEEP_S)
+    else:
+        _emit(None, None, error=(
+            f"device backend unreachable in {PROBE_ATTEMPTS} probes over "
+            f"~{PROBE_ATTEMPTS * (PROBE_TIMEOUT_S + PROBE_RETRY_SLEEP_S):.0f}s "
+            "(axon tunnel down); no measurement taken"
+        ))
         return
+
+    partial = {"stage": "start"}
+    worker = threading.Thread(
+        target=_measure, args=(partial,), daemon=True
+    )
+    worker.start()
+    worker.join(MEASURE_DEADLINE_S)
+
+    if "result" in partial:
+        print(json.dumps(partial["result"]))
+        return
+    # The pipelined headline didn't complete (tunnel drop or deadline):
+    # fall back to the blocking-loop rate if that stage finished.
+    reason = partial.get(
+        "error",
+        f"measurement incomplete after {MEASURE_DEADLINE_S:.0f}s "
+        f"(last stage: {partial.get('stage')})",
+    )
+    hps = partial.get("blocking_hps")
+    _emit(
+        round(hps) if hps else None,
+        round(hps / REF_HAYSTACKS_PER_SEC, 4) if hps else None,
+        extra={k: v for k, v in partial.items()
+               if k not in ("result", "error")},
+        error=f"partial result ({reason}); value is the blocking-loop "
+              "rate" if hps else reason,
+    )
+
+
+def _measure(partial):
+  try:
 
     from frizbee_tpu.config import Config
     from frizbee_tpu.corpus import pack_corpus
@@ -88,17 +147,20 @@ def main():
         match_topk_batch_async,
     )
 
+    partial["stage"] = "pack"
     haystacks = partial_match_corpus(median_length=MEDIAN_LEN, num_samples=N)
     corpus = pack_corpus(haystacks, unicode=False)
 
     queries = [Matcher.from_query(s, Config()) for s in _queries(Q)]
 
     # Warmup: compile + device upload (single-query + batch traces)
+    partial["stage"] = "warmup"
     matcher = Matcher("deadbeef", Config())
     matcher.match_arrays(corpus)
     match_topk_batch(queries, corpus, Config(), k=TOP_K)
 
     # Single-query latency (RTT-bound on this host link)
+    partial["stage"] = "latency"
     lat = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -106,14 +168,19 @@ def main():
         lat.append(time.perf_counter() - t0)
     latency = float(np.median(lat))
     n_matches = int(len(out[0]))
+    partial["single_query_latency_seconds"] = latency
 
     # Blocking round-trip serving (one batch in flight at a time)
+    partial["stage"] = "blocking"
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         res = match_topk_batch(queries, corpus, Config(), k=TOP_K)
         times.append(time.perf_counter() - t0)
     blocking_dt = float(np.median(times))
+    partial["blocking_batch_seconds"] = blocking_dt
+    partial["blocking_hps"] = Q * N / blocking_dt
+    partial["stage"] = "pipelined"
 
     # Steady-state pipelined serving: 3 batches in flight so the host-link
     # round trip overlaps device execution (match_topk_batch_async — the
@@ -140,8 +207,8 @@ def main():
     assert all(len(r[1]) == min(r[0], TOP_K) for r in res)
 
     hps = Q * N / dt
-    print(json.dumps({
-        "metric": "partial_match_1m_len64_topk_serving_haystacks_per_sec",
+    partial["result"] = {
+        "metric": METRIC,
         "value": round(hps),
         "unit": "haystacks/s",
         "vs_baseline": round(hps / REF_HAYSTACKS_PER_SEC, 4),
@@ -156,7 +223,9 @@ def main():
             "single_query_matches": n_matches,
             "reference_haystacks_per_sec": REF_HAYSTACKS_PER_SEC,
         },
-    }))
+    }
+  except Exception as exc:  # noqa: BLE001 — any failure becomes a line
+    partial["error"] = f"{type(exc).__name__}: {exc}"
 
 
 if __name__ == "__main__":

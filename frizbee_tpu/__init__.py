@@ -19,7 +19,7 @@ from .config import (
     UnicodeMatching,
 )
 from .pattern import Pattern, PatternConfig
-from .types import Match, MatchIndices
+from .types import Match, MatchIndices, MatchList
 
 __version__ = "0.1.0"
 
@@ -68,6 +68,7 @@ __all__ = [
     "Config",
     "Match",
     "MatchIndices",
+    "MatchList",
     "Matcher",
     "Matching",
     "Pattern",

@@ -223,6 +223,20 @@ class Corpus:
     def __len__(self) -> int:
         return len(self.haystacks)
 
+    def greedy_risk(self) -> bool:
+        """True when any bucketed row could take the greedy path (trimmed
+        window > the 1024-byte DP cap — only possible when a row has more
+        bytes than the cap, i.e. multi-byte-heavy unicode rows). Top-k
+        serving consults this: greedy rescoring can DROP rows, so a
+        truncated fetch can only be trusted for exact totals when no
+        unfetched row can be greedy."""
+        if not hasattr(self, "_greedy_risk"):
+            self._greedy_risk = any(
+                b.size and int(b.n_bytes.max()) > 1024
+                for b in self.buckets
+            )
+        return self._greedy_risk
+
     def xl_presence(self):
         """(n_xl, 128) uint8 capped fold-bit occurrence counts for the XL
         (host-path) rows, computed lazily off the resident encoded blob
@@ -381,6 +395,13 @@ def pack_corpus(
     from . import native
 
     n = len(haystacks)
+    if n >= 1 << 31:
+        # indices pack as int32 throughout the device pipeline (and into
+        # the batched sort keys); past 2^31 rows they would silently
+        # mis-sort (reference raises likewise: src/matcher/mod.rs:437-446)
+        raise ValueError(
+            f"corpus has {n} haystacks; the maximum supported is 2^31 - 1"
+        )
     if n == 0:
         return Corpus(list(haystacks), unicode, [], np.zeros(0, np.int64))
 

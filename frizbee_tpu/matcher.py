@@ -18,7 +18,7 @@ from .config import Config, SortStrategy, U16_MAX, sat_add_u16
 from .corpus import Corpus, pack_corpus
 from .engine import MatchResult, make_engine
 from .pattern import Pattern
-from .types import Match, MatchIndices
+from .types import Match, MatchIndices, MatchList
 
 PatternLike = Union[str, Pattern]
 
@@ -38,20 +38,6 @@ def _as_pattern(p: PatternLike) -> Pattern:
     if isinstance(p, Pattern):
         return p
     return Pattern.literal(str(p))
-
-
-def sort_matches(matches: list, strategy: SortStrategy, by_score: bool = True) -> list:
-    """Order results per the sort strategy. (score, index) is a total order,
-    so this reproduces the reference's reverse + stable radix exactly
-    (reference: src/matcher/mod.rs:212-222, src/sort.rs:6-40)."""
-    if strategy.is_reversed:
-        matches = list(reversed(matches))
-    if by_score and strategy.is_by_score:
-        if strategy is SortStrategy.SCORE_THEN_INDEX_ASC:
-            matches = sorted(matches, key=lambda m: (-m.score, m.index))
-        else:
-            matches = sorted(matches, key=lambda m: (-m.score, -m.index))
-    return matches
 
 
 class Matcher:
@@ -189,6 +175,14 @@ class Matcher:
         from .ops.kernels import MAX_KERNEL_NEEDLE
         from .ops.fuzzy import SCORING_FIELDS
 
+        # end_col travels in a 14-bit meta field (ops/batch._pack_meta);
+        # it is a byte offset within one window, <= 4 bytes/unit x width.
+        # Every default bucket fits (1024 units -> 4096 bytes); a wider
+        # custom bucket would silently clamp end_col.
+        assert all(b.width * 4 <= 0x3FFF for b in corpus.buckets), (
+            "bucket width exceeds the 14-bit end_col meta field "
+            "(max 4095 units; see ops/batch._pack_meta)"
+        )
         use_kernel = (
             all(
                 (b.width % 128 == 0 or 128 % b.width == 0)
@@ -510,24 +504,23 @@ class Matcher:
             res.end_col[idxs],
         )
 
-    def match_list(self, haystacks: Union[Sequence[str], Corpus]) -> List[Match]:
+    def match_list(
+        self, haystacks: Union[Sequence[str], Corpus]
+    ) -> Sequence[Match]:
         """Batch matching; the most performant path
-        (reference: src/matcher/mod.rs:205-222)."""
+        (reference: src/matcher/mod.rs:205-222). Returns an array-backed
+        lazy :class:`MatchList` (a ``Sequence[Match]``): per-element
+        ``Match`` objects are built on access, so huge result sets — and
+        the empty-needle copy path, a 16 us memcpy in the reference
+        (BENCHMARKS.md:187-205) — cost O(1) Python objects."""
         if not self._compiled:
-            # copy path (reference: src/matcher/mod.rs:205-210): positional
-            # slots construction — object build dominates this degenerate path
-            matches = [Match(0, i) for i in range(len(haystacks))]
-            return sort_matches(matches, self._config.sort, by_score=False)
+            # copy path (reference: src/matcher/mod.rs:205-210)
+            idx = np.arange(len(haystacks), dtype=np.int64)
+            if self._config.sort.is_reversed:
+                idx = idx[::-1]
+            return MatchList(idx)
 
-        index, score, exact, end_col = self.match_arrays(haystacks)
-        score_l = score.tolist()
-        index_l = index.tolist()
-        exact_l = exact.tolist()
-        end_l = end_col.tolist()
-        return [
-            Match(s, i, x, e)
-            for s, i, x, e in zip(score_l, index_l, exact_l, end_l)
-        ]
+        return MatchList(*self.match_arrays(haystacks))
 
     def match_list_indices(
         self, haystacks: Union[Sequence[str], Corpus]
@@ -975,6 +968,18 @@ def match_topk_batch(
 def _finalize_topk(matchers, corpus, raw, k) -> List[tuple]:
     results: List[Optional[tuple]] = [None] * len(matchers)
     for i, r in enumerate(raw):
+        # Unfetched device rows can hide greedy-flagged matches, and
+        # greedy host rescoring can DROP rows — so when matches overflow
+        # the fetch window on a corpus that can produce greedy rows, the
+        # truncated fetch can't guarantee an exact total or exact near-k
+        # ordering. Take the per-query full-fetch path instead (same
+        # guard match_arrays_batch applies on overflow).
+        if (
+            r is not None
+            and r[0] > len(r[1])
+            and corpus.greedy_risk()
+        ):
+            r = None
         if r is None:
             index, score, exact, end_col = matchers[i].match_arrays(corpus)
             results[i] = (

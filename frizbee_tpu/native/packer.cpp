@@ -207,7 +207,11 @@ void sw_indices_batch(const int32_t* cp, const int32_t* first,
                 if (MM[(size_t)(row_i * stride + col)]) {
                     const int64_t unit = s0 + col - 1;
                     const int32_t off = boff[base + unit];
-                    for (int32_t b = blen[base + unit] - 1; b >= 0; --b)
+                    // defensive ABI bound (callers pass cap = 4*n, which a
+                    // <=4-byte unit per needle row can't exceed, but the
+                    // guard keeps a future caller from a heap overflow)
+                    for (int32_t b = blen[base + unit] - 1;
+                         b >= 0 && cnt < cap; --b)
                         out[cnt++] = off + b;
                     --row_i;
                     --col;

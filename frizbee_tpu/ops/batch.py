@@ -619,6 +619,15 @@ def _fused_match_batch_fast(
             cp, nu, _idx, _mask4, _bits8 = b
             B, W = cp.shape
             bbits = max((B - 1).bit_length(), 1)
+            # the packed survivor key is [reject | n_units | row]: row bits
+            # + unit-count bits + the reject flag must fit int32. Holds for
+            # every bucket built by pack_corpus (corpus.max_bucket_rows
+            # caps B so bbits + wbits <= 30); a hand-built PackedBucket
+            # violating it would silently mis-sort survivors.
+            assert bbits + W.bit_length() + 1 <= 31, (
+                f"bucket too large for the packed survivor key: "
+                f"{B} rows x width {W} (see corpus.max_bucket_rows)"
+            )
             iota = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
             keyb = (nu[:, 0] << bbits) | iota  # query-independent base
             key = jnp.where(

@@ -6,6 +6,7 @@ src/lib.rs:141-232) with the same ordering contract: (score desc, index asc).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from dataclasses import dataclass, field
 from typing import List
 
@@ -39,6 +40,93 @@ class Match:
 
     def __lt__(self, other: "Match") -> bool:
         return self.sort_key() < other.sort_key()
+
+
+class MatchList(Sequence):
+    """Array-backed lazy sequence of :class:`Match`.
+
+    ``match_list`` returns match data as four numpy columns; building a
+    Python ``Match`` object per row costs ~4 orders of magnitude more than
+    the arrays themselves on large result sets (the reference's
+    empty-needle copy path is a 16 us memcpy for 100k rows,
+    BENCHMARKS.md:187-205 — eager object construction here was ~61 ms).
+    This sequence defers object construction to element access, so holding
+    or slicing a huge result list is O(1) per row until a row is touched.
+
+    Equality compares element-wise against any sequence of ``Match``, so
+    it interoperates with plain lists in either operand position.
+    """
+
+    __slots__ = ("_index", "_score", "_exact", "_end_col")
+    __hash__ = None
+
+    def __init__(self, index, score=None, exact=None, end_col=None):
+        import numpy as np
+
+        n = len(index)
+        self._index = np.asarray(index)
+        self._score = (
+            np.zeros(n, np.int64) if score is None else np.asarray(score)
+        )
+        self._exact = (
+            np.zeros(n, bool) if exact is None else np.asarray(exact)
+        )
+        self._end_col = (
+            np.zeros(n, np.int64) if end_col is None else np.asarray(end_col)
+        )
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return MatchList(
+                self._index[i], self._score[i],
+                self._exact[i], self._end_col[i],
+            )
+        return Match(
+            score=int(self._score[i]),
+            index=int(self._index[i]),
+            exact=bool(self._exact[i]),
+            end_col=int(self._end_col[i]),
+        )
+
+    def __iter__(self):
+        # tolist() amortizes the numpy-scalar unboxing across the sweep
+        return (
+            Match(s, i, x, e)
+            for s, i, x, e in zip(
+                self._score.tolist(), self._index.tolist(),
+                self._exact.tolist(), self._end_col.tolist(),
+            )
+        )
+
+    def arrays(self):
+        """The underlying (index, score, exact, end_col) columns."""
+        return self._index, self._score, self._exact, self._end_col
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, MatchList):
+            import numpy as np
+
+            return (
+                len(self) == len(other)
+                and bool(np.array_equal(self._index, other._index))
+                and bool(np.array_equal(self._score, other._score))
+                and bool(np.array_equal(self._exact, other._exact))
+                and bool(np.array_equal(self._end_col, other._end_col))
+            )
+        if isinstance(other, Sequence) and not isinstance(other, str):
+            return len(self) == len(other) and all(
+                a == b for a, b in zip(self, other)
+            )
+        return NotImplemented
+
+    def __repr__(self) -> str:
+        if len(self) > 8:
+            head = ", ".join(repr(m) for m in self[:4])
+            return f"MatchList([{head}, ... {len(self)} matches])"
+        return f"MatchList({list(self)!r})"
 
 
 @dataclass(slots=True)
