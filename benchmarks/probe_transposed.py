@@ -34,17 +34,20 @@ import frizbee_tpu  # noqa: F401,E402  (persistent XLA cache)
 from frizbee_tpu.ops import kernels  # noqa: E402
 
 
-def timed(fn, k1=2, k2=8, reps=3):
+def timed(fn, *arrs, k1=2, k2=8, reps=3):
+    """fn(carry, *arrs) -> carry. Arrays ride as jit args (closure
+    capture would bake them into the HLO and blow the remote-compile
+    request limit)."""
     def loop(K):
         @jax.jit
-        def f(c):
-            return jax.lax.fori_loop(0, K, lambda i, c: fn(c), c)
+        def f(c, *arrs):
+            return jax.lax.fori_loop(0, K, lambda i, c: fn(c, *arrs), c)
 
-        np.asarray(f(jnp.int32(0)))
+        np.asarray(f(jnp.int32(0), *arrs))
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            np.asarray(f(jnp.int32(0)))
+            np.asarray(f(jnp.int32(0), *arrs))
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
@@ -119,7 +122,7 @@ def main():
         nu = jnp.full((B, 1), W, jnp.int32)
         scal = kernels.pack_needle_scalars(needle_packed, B)
 
-        def run_current(carry, cp=cp, nu=nu):
+        def run_current(carry, cp, nu):
             out = kernels.match_units(
                 cp, nu,
                 kernels.pack_needle_scalars(
@@ -128,7 +131,7 @@ def main():
             )
             return jnp.sum(out[:, 1], dtype=jnp.int32) & 0x7FFFFFFF
 
-        cur_s = timed(run_current)
+        cur_s = timed(run_current, cp, nu)
 
         # unit-major blocks: row-group g's unit j at cpT[g*W + j]
         cpT = jnp.asarray(
@@ -139,7 +142,7 @@ def main():
             ).reshape(-1, SUBL, 128)
         )
         run_t = make_transposed(W, n, B)
-        tr_s = timed(lambda c: run_t(cpT, scal, c))
+        tr_s = timed(lambda c, cpT, scal: run_t(cpT, scal, c), cpT, scal)
 
         print(json.dumps({
             "W": W, "B": B, "n": n,

@@ -166,27 +166,43 @@ def bench_micro(rows):
     })
     print(json.dumps(rows[-1]), flush=True)
 
-    # device select+sort micro: time the fused program minus the kernel by
-    # sorting a prebuilt 100k keys array (the analog of the radix row)
+    # device result-selection micro: the serving P3 op — pack 100k
+    # (score, index, meta) rows into int64 keys, ONE single-operand sort,
+    # decode [index, meta] (ops/batch.keys_from/_select_sorted) — vs the
+    # reference's 131.9 us radix over the same row count. Timed as the
+    # marginal cost of K extra iterations inside one jit (a dispatch loop
+    # on this ~26 ms-RTT link measures the link, not the op).
     import jax
     import jax.numpy as jnp
 
-    keys = jnp.asarray(
-        np.random.default_rng(0).integers(0, 1 << 30, 100_000,
-                                          dtype=np.int32)
-    )
-    payload = keys ^ 7
+    score = jnp.asarray(np.random.default_rng(0).integers(
+        0, 1 << 15, 100_000, dtype=np.int32))
+    index = jnp.asarray(np.arange(100_000, dtype=np.int32))
+    idx_bits = 17
 
-    @jax.jit
-    def srt(k, p, i):
-        return jax.lax.sort((k ^ (i * 1000003), p), num_keys=1)
+    def selection(i, s):
+        with jax.enable_x64(True):
+            comp = (((score ^ i) & 0x7FFF).astype(jnp.int64) << idx_bits
+                    ) | index.astype(jnp.int64)
+            k64 = jax.lax.sort(((-comp) << 16) | 7, is_stable=False)
+            comp2 = -jax.lax.shift_right_arithmetic(k64, 16)
+            out = (comp2 & ((1 << idx_bits) - 1)).astype(jnp.int32)
+        return s ^ out[0]
 
-    jax.block_until_ready(srt(keys, payload, 1))
-    t0 = time.perf_counter()
-    for i in range(8):
-        r = srt(keys, payload, i)
-    jax.block_until_ready(r)
-    sort_s = (time.perf_counter() - t0) / 8
+    def loop(K):
+        @jax.jit
+        def f(c):
+            return jax.lax.fori_loop(0, K, selection, c)
+
+        np.asarray(f(jnp.int32(0)))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(f(jnp.int32(0)))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    sort_s = (loop(10) - loop(2)) / 8
     rows.append({
         "config": "device_sort_100k", "haystacks": 100_000, "matches": 0,
         "latency_ms": round(sort_s * 1e3, 3),

@@ -188,6 +188,45 @@ class PackedBucket:
             )
         return self._device_ascii
 
+    def device_arrays_colstream(self):
+        """Transposed (column-stream) blocks for ops/colstream: (cpT
+        (nG*W, SUBL, 128) int32, nuT (nG*SUBL, 128) int32). Row groups
+        of SUBL*128 pack unit-major: group g's unit column j lives at
+        cpT[g*W + j] with row g*GR + s*128 + l at [s, l] — the layout
+        the in-place serving flow streams when every row runs the DP
+        (lanes = haystacks; ~5-10x the row-major kernel there, see
+        benchmarks/probe_colstream_tpu.py). Padding rows carry 0 units."""
+        from .ops import colstream as _cs
+
+        key = getattr(self, "_device_colstream_key", None)
+        if key == _cs.SUBL:
+            return self._device_colstream
+        import jax.numpy as jnp
+
+        gr = _cs.SUBL * 128
+        cp32 = (
+            self.cp.astype(np.int32) & 0xFF
+            if self.cp.dtype == np.int8
+            else self.cp.astype(np.int32)
+        )
+        b, w = cp32.shape
+        pad = (-b) % gr
+        if pad:
+            cp32 = np.pad(cp32, ((0, pad), (0, 0)))
+        nup = np.pad(
+            self.n_units.astype(np.int32), (0, pad)
+        ) if pad else self.n_units.astype(np.int32)
+        ng = cp32.shape[0] // gr
+        cpt = np.ascontiguousarray(
+            cp32.reshape(ng, _cs.SUBL, 128, w).transpose(0, 3, 1, 2)
+        ).reshape(ng * w, _cs.SUBL, 128)
+        self._device_colstream = (
+            jnp.asarray(cpt),
+            jnp.asarray(nup.reshape(ng * _cs.SUBL, 128)),
+        )
+        self._device_colstream_key = _cs.SUBL
+        return self._device_colstream
+
     def device_arrays_units(self):
         """Kernel-path device arrays for codepoint (unicode) packing:
         (cp int32 (B,W), n_units (B,1) i32, indices (B,) i32,

@@ -846,6 +846,27 @@ def _dispatch_batch_groups(
             )
             for p in range(n_pat)
         )
+        # Transposed corpus blocks for the column-stream kernel: built
+        # (cached per corpus) only when this group's fast in-place flow
+        # can take it (single fuzzy pattern, needle/typo budget in range)
+        from .ops.batch import FUZZY_MODE
+        from .ops.colstream import colstream_supported
+
+        needs_cs = (
+            use_kernel
+            and n_pat == 1
+            and statics[0][4] == FUZZY_MODE
+            and not statics[0][2]
+            and config.sort.is_by_score
+            and colstream_supported(
+                _lens[0], min(statics[0][0], _lens[0]), statics[0][1]
+            )
+        )
+        buckets_T = (
+            tuple(b.device_arrays_colstream() for b in corpus.buckets)
+            if needs_cs
+            else None
+        )
         out = fused_match_sorted_batch(
             buckets,
             stacked,
@@ -858,6 +879,7 @@ def _dispatch_batch_groups(
             score_bound=matchers[members[0]]._score_bound(),
             fetch_rows=min(fetch_rows, len(corpus)),
             bucket_statics=bst,
+            buckets_T=buckets_T,
         )
         try:
             out.copy_to_host_async()  # start the transfer behind later work

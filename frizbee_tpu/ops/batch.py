@@ -26,6 +26,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from .colstream import colstream_supported, match_units_colstream
 from .kernels import (
     INT16_MOSAIC_OK,
     block_rows,
@@ -44,15 +45,12 @@ from .literal import (
 )
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
+INT64_MAX = jnp.iinfo(jnp.int64).max
 
 FUZZY_MODE = "fuzzy"
 
 # Sort capacities (padded upward per corpus); see _select_sorted
 SORT_CAPS = (8192, 65536, 262144)
-
-# Test hook: force the two-key (wide) result sort regardless of corpus
-# size, so small CPU corpora can exercise the 10M+-row key layout
-_FORCE_WIDE_KEYS = False
 
 # Batched P3 sorts amortize the per-sort floor across Q, but their HLO
 # temps scale with Q x total x n_operands; past this TOTAL-element budget
@@ -140,10 +138,12 @@ def _select_sorted(matched, score, exact, end_col, greedy, index,
     """Device select+sort: [index, meta] rows with all matches first in
     the configured order, via stable partition + capacity-branched sort.
 
-    When the static score bound and the corpus size fit one int32, score
-    and index pack into a single composite key (score in the high bits,
-    complemented index below) so the sort carries two operands; otherwise
-    a two-key sort."""
+    Everything packs into ONE int64 sort key — by score:
+    [-((score << idx_bits) | (idx_mask - index)) << 16 | meta_low16];
+    by index: [index << 32 | meta_u32] — because XLA:TPU's single-operand
+    sort runs ~2x its two-operand sort at any width up to 64 bits
+    (benchmarks/probe_sort64.py). Ascending int64 order realizes the
+    configured total order; unmatched rows carry INT64_MAX."""
     B = matched.shape[0]
     count = jnp.sum(matched).astype(jnp.int32)
     meta = _pack_meta(score, exact, greedy, end_col)
@@ -151,63 +151,72 @@ def _select_sorted(matched, score, exact, end_col, greedy, index,
         return count, jnp.zeros((0, 2), jnp.int32)
 
     idx_bits = max((n - 1).bit_length(), 1)
-    composite = (
-        sort_by_score
-        and score_bound is not None
-        and score_bound.bit_length() + idx_bits <= 31
-    )
+    idx_mask = (1 << idx_bits) - 1
 
-    # stable partition of matched rows to the front (O(B) elementwise)
-    m32 = matched.astype(jnp.int32)
-    cs = jnp.cumsum(m32)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
-    pos = jnp.where(matched, cs - 1, count + iota - cs)
-
-    if composite:
-        idx_mask = (1 << idx_bits) - 1
-        comp = (score << idx_bits) | (idx_mask - index)
-        key = jnp.where(matched, -comp, INT32_MAX).astype(jnp.int32)
-    elif sort_by_score:
-        key = jnp.where(matched, -score, INT32_MAX).astype(jnp.int32)
-    else:
-        key = jnp.where(matched, index, INT32_MAX).astype(jnp.int32)
-    key_p = jnp.full((B,), INT32_MAX, jnp.int32).at[pos].set(key)
-    meta_p = jnp.zeros((B,), jnp.int32).at[pos].set(meta)
-    idx_p = jnp.zeros((B,), jnp.int32).at[pos].set(index)
-
-    caps = [c for c in SORT_CAPS if c < B] + [B]
-
-    def sort_cap(cap):
-        if composite:
-            k2, m2 = jax.lax.sort(
-                (key_p[:cap], meta_p[:cap]), num_keys=1, is_stable=False
+    # int64 creation/promotion needs the scoped x64 flag during tracing
+    # (global x64 would flip dtypes across every pipeline; this block is
+    # the only 64-bit region in the package)
+    with jax.enable_x64(True):
+        if sort_by_score:
+            comp = (
+                (score.astype(jnp.int64) << idx_bits)
+                | (idx_mask - index).astype(jnp.int64)
             )
-            comp2 = -k2
-            i2 = idx_mask - (comp2 & idx_mask)
-        elif sort_by_score:
-            k2, i2, m2 = jax.lax.sort(
-                (key_p[:cap], idx_p[:cap], meta_p[:cap]), num_keys=2,
-                is_stable=False,
+            k64 = ((-comp) << 16) | (meta & 0xFFFF).astype(jnp.int64)
+        else:
+            k64 = (index.astype(jnp.int64) << 32) | (
+                meta.astype(jnp.int64) & 0xFFFFFFFF
+            )
+        k64 = jnp.where(matched, k64, INT64_MAX)
+
+        def decode(k):
+            if sort_by_score:
+                comp2 = -jax.lax.shift_right_arithmetic(k, 16)
+                score2 = jax.lax.shift_right_logical(
+                    comp2, jnp.int64(idx_bits)
+                )
+                i2 = (idx_mask - (comp2 & idx_mask)).astype(jnp.int32)
+                m2 = (
+                    (score2.astype(jnp.int32) << 16)
+                    | (k & 0xFFFF).astype(jnp.int32)
+                )
+            else:
+                i2 = jax.lax.shift_right_arithmetic(
+                    k, jnp.int64(32)
+                ).astype(jnp.int32)
+                m2 = (k & 0xFFFFFFFF).astype(jnp.int32)
+            return jnp.stack([i2, m2], axis=1)
+
+        # stable partition of matched rows to the front (O(B)
+        # elementwise), so a capacity-bounded sort covers every match
+        m32 = matched.astype(jnp.int32)
+        cs = jnp.cumsum(m32)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
+        pos = jnp.where(matched, cs - 1, count + iota - cs)
+        k64_p = jnp.full((B,), INT64_MAX, jnp.int64).at[pos].set(k64)
+
+        caps = [c for c in SORT_CAPS if c < B] + [B]
+
+        def sort_cap(cap):
+            head = decode(jax.lax.sort(k64_p[:cap], is_stable=False))
+            if cap < B:
+                head = jnp.concatenate(
+                    [head, decode(k64_p[cap:])], axis=0
+                )
+            return head
+
+        if len(caps) > 1:
+            which = jnp.sum(
+                jnp.stack(
+                    [count > c for c in caps[:-1]]
+                ).astype(jnp.int32),
+                dtype=jnp.int32,
+            )
+            rows = jax.lax.switch(
+                which, [functools.partial(sort_cap, c) for c in caps]
             )
         else:
-            i2, m2 = jax.lax.sort(
-                (key_p[:cap], meta_p[:cap]), num_keys=1, is_stable=False
-            )
-        head = jnp.stack([i2, m2], axis=1)
-        if cap < B:
-            tail = jnp.stack([idx_p[cap:], meta_p[cap:]], axis=1)
-            head = jnp.concatenate([head, tail], axis=0)
-        return head
-
-    if len(caps) > 1:
-        which = jnp.sum(
-            jnp.stack([count > c for c in caps[:-1]]).astype(jnp.int32)
-        )
-        rows = jax.lax.switch(
-            which, [functools.partial(sort_cap, c) for c in caps]
-        )
-    else:
-        rows = sort_cap(B)
+            rows = sort_cap(B)
     return count, rows
 
 
@@ -321,6 +330,7 @@ def fused_match_sorted_batch(
     score_bound=None,
     fetch_rows: int = 6144,
     bucket_statics=None,  # per bucket (ident_base, n_real) for the fast path
+    buckets_T=None,  # per bucket (cpT, nuT) colstream blocks, or None
 ):
     """Pipelined serving: match Q shape-uniform queries against one resident
     corpus in a single device program, one (Q, 1+fetch_rows, 2) fetch.
@@ -340,15 +350,14 @@ def fused_match_sorted_batch(
         and pattern_statics[0][4] == FUZZY_MODE
         and not pattern_statics[0][2]  # not negated
         and score_bound is not None
-        # any corpus size: the fast path switches to a two-key result
-        # sort when score and index no longer co-pack into one int32
+        # any corpus size: the int64 result key covers every layout
     )
     if fast:
         return _fused_match_batch_fast(
             buckets, stacked_patterns[0], n=n,
             statics=pattern_statics[0], unicode=unicode,
             score_bound=score_bound, fetch_rows=fetch_rows,
-            bucket_statics=bucket_statics,
+            bucket_statics=bucket_statics, buckets_T=buckets_T,
         )
 
     def body(carry, patterns):
@@ -372,6 +381,7 @@ def _fused_match_batch_fast(
     score_bound: int,
     fetch_rows: int,
     bucket_statics=None,  # per bucket (ident_base, n_real); base -1 = no
+    buckets_T=None,  # per bucket (cpT, nuT) colstream blocks, or None
 ):
     """Q-batched single-pattern serving: the hot path.
 
@@ -411,13 +421,6 @@ def _fused_match_batch_fast(
 
     idx_bits = max((n - 1).bit_length(), 1)
     idx_mask = (1 << idx_bits) - 1
-    # Result ordering key: score and index co-pack into one int32 word
-    # when they fit (one-operand P3 sort); corpora too large for that
-    # (score_bits + idx_bits > 31, e.g. 10M+ rows) use a two-key sort
-    # (-score, index) instead of falling off the fast path entirely.
-    wide_keys = (
-        score_bound.bit_length() + idx_bits > 31 or _FORCE_WIDE_KEYS
-    )
     needles_q = jnp.concatenate([orig_q, flip_q], axis=1).astype(jnp.int32)
 
     if not buckets:
@@ -446,74 +449,82 @@ def _fused_match_batch_fast(
         )
         return out.reshape(rows, 8)
 
-    def keys_from(out8, idx):
-        matched = (out8[:, 0] > 0) & (idx >= 0)
-        score = out8[:, 1]
+    def keys_from_cols(matched, score, exact, end_col, greedy, idx):
+        """Pack one bucket's kernel results into SINGLE int64 sort keys:
+        [-((score << idx_bits) | (idx_mask - index)) << 16 | meta_low16].
+
+        A single-operand sort is ~2x XLA:TPU's two-operand (key, payload)
+        sort (benchmarks/probe_sort64.py: int64 1-op == int32 1-op ==
+        ~0.5x the 2-op cost at serving shapes), and score(16b) +
+        index(<=31b) + the non-score meta bits (16b) always fit 63 bits —
+        one layout for every corpus size. Ascending int64 order realizes
+        (matched first, score desc, index asc); unmatched rows carry
+        INT64_MAX."""
+        matched = matched & (idx >= 0)
         meta = _pack_meta(
             jnp.where(matched, score, 0),
-            matched & (out8[:, 2] > 0),
-            matched & (out8[:, 4] > 0),
-            jnp.where(matched, out8[:, 3], 0),
+            matched & exact,
+            matched & greedy,
+            jnp.where(matched, end_col, 0),
         )
         cnt = jnp.sum(matched).astype(jnp.int32)
-        if wide_keys:
-            return order_keys(matched, score, idx), meta, cnt
-        comp = (score << idx_bits) | (idx_mask - idx)
-        key = jnp.where(matched, -comp, INT32_MAX).astype(jnp.int32)
-        return (key,), meta, cnt
+        with jax.enable_x64(True):  # scoped: the only 64-bit region
+            comp = (
+                (score.astype(jnp.int64) << idx_bits)
+                | (idx_mask - idx).astype(jnp.int64)
+            )
+            k64 = ((-comp) << 16) | (meta & 0xFFFF).astype(jnp.int64)
+            k64 = jnp.where(matched, k64, INT64_MAX)
+        return k64, cnt
 
-    def cat_keys(keys):
-        """Concatenate per-bucket key tuples component-wise."""
-        return tuple(
-            jnp.concatenate([k[c] for k in keys])
-            for c in range(len(keys[0]))
+    def keys_from(out8, idx):
+        return keys_from_cols(
+            out8[:, 0] > 0, out8[:, 1], out8[:, 2] > 0, out8[:, 3],
+            out8[:, 4] > 0, idx,
         )
 
-    # one key operand (packed) or two (wide) + the meta payload
-    n_sort_ops = 3 if wide_keys else 2
+    def decode_keys(k64):
+        """[index, meta] from sorted int64 keys (sentinel rows are past
+        the count header, never read by the host)."""
+        with jax.enable_x64(True):
+            comp = -jax.lax.shift_right_arithmetic(k64, 16)
+            score = jax.lax.shift_right_logical(comp, jnp.int64(idx_bits))
+            index = (idx_mask - (comp & idx_mask)).astype(jnp.int32)
+            meta = (
+                (score.astype(jnp.int32) << 16)
+                | (k64 & 0xFFFF).astype(jnp.int32)
+            )
+        return index, meta
 
     def sort_in_body(total):
         """True when the batched finalize sort's operands would exceed
-        the HBM budget — the single predicate both body_reduce and the
-        finalize callers consult (they must agree: finalize skips the
-        sort exactly when the body already did it)."""
-        return Q * total * n_sort_ops > SORT_BODY_BUDGET
+        the HBM budget (int64 keys count as two words) — the single
+        predicate both body_reduce and the finalize callers consult
+        (they must agree: finalize skips the sort exactly when the body
+        already did it)."""
+        return Q * total * 2 > SORT_BODY_BUDGET
 
-    def body_reduce(keys, metas, counts, total):
+    def body_reduce(keys, counts, total):
         """Per-scan-iteration reduction: concat bucket pieces, and sort+
         slice in-body when the batched finalize sort would blow HBM."""
-        kc = cat_keys(keys)
-        mc = jnp.concatenate(metas)
-        cnt = jnp.sum(jnp.stack(counts))
+        kc = jnp.concatenate(keys)
+        cnt = jnp.sum(jnp.stack(counts), dtype=jnp.int32)
         if sort_in_body(total):
-            ops = jax.lax.sort(
-                (*kc, mc), dimension=0, num_keys=len(kc),
-                is_stable=False,
-            )
-            kc = tuple(o[:fetch_rows] for o in ops[:-1])
-            mc = ops[-1][:fetch_rows]
-        return kc, mc, cnt
+            kc = jax.lax.sort(kc, is_stable=False)[:fetch_rows]
+        return kc, cnt
 
-    def finalize(keys, metas, counts, presorted):
-        # P3: one batched multi-operand sort (skipped when the scan body
+    def finalize(keys, counts, presorted):
+        # P3: ONE single-operand batched sort (skipped when the scan body
         # already sorted per query), then decode [index, meta] rows.
-        # keys is a 1-tuple (packed word) or 2-tuple (-score, index);
-        # keys embed the unique row index, so the order is total and the
-        # sort need not be stable (stability would add an iota operand).
+        # Keys embed the unique row index, so the order is total and the
+        # sort need not be stable.
         if presorted:
-            ops = (*keys, metas)
+            kc = keys
         else:
-            ops = jax.lax.sort(
-                (*keys, metas), dimension=1, num_keys=len(keys),
-                is_stable=False,
-            )
-        metas = ops[-1]
-        if wide_keys:
-            index = ops[1]
-        else:
-            comp = -ops[0]
-            index = idx_mask - (comp & idx_mask)
-        rows = jnp.stack([index, metas], axis=2)[:, :fetch_rows]
+            kc = jax.lax.sort(keys, dimension=1, is_stable=False)
+        kc = kc[:, :fetch_rows]
+        index, metas = decode_keys(kc)
+        rows = jnp.stack([index, metas], axis=2)
         if rows.shape[1] < fetch_rows:
             rows = jnp.pad(
                 rows, ((0, 0), (0, fetch_rows - rows.shape[1]), (0, 0))
@@ -524,33 +535,82 @@ def _fused_match_batch_fast(
         )
         return jnp.concatenate([header, rows], axis=1)
 
+    # Column-stream dispatch: the transposed kernel runs ~5-10x the
+    # row-major kernel per row (benchmarks/probe_colstream_tpu.py) when
+    # the needle/typo budget fits its register budget. In-place flows
+    # stream the corpus-resident transposed blocks (buckets_T); the
+    # compacted flow transposes its survivor gather on device (one
+    # relayout, ~2x the gather bytes of HBM traffic, repaid ~4x over by
+    # the kernel).
+    use_colstream = (
+        buckets_T is not None
+        and colstream_supported(nlen, T, no_prefilter)
+    )
+    cs_interpret = jax.default_backend() != "tpu"
+
+    def run_colstream(cpT_k, nuT_k, needle_q, count, W):
+        m, s, e, ec, g = match_units_colstream(
+            cpT_k, nuT_k, pack_needle_scalars(needle_q, count),
+            W=W, n=nlen, max_typos=T, scoring=scoring, unicode=unicode,
+            no_prefilter=no_prefilter, interpret=cs_interpret,
+        )
+        return m, s, e, ec, g
+
+    def to_colstream_blocks(cp_k, nu_k):
+        """Device-side (cap, W) -> colstream blocks (one transpose)."""
+        from .colstream import SUBL
+
+        gr = SUBL * 128
+        cap, W = cp_k.shape
+        pad = (-cap) % gr
+        if pad:
+            cp_k = jnp.pad(cp_k, ((0, pad), (0, 0)))
+            nu_k = jnp.pad(nu_k, (0, pad))
+        ng = cp_k.shape[0] // gr
+        cpT = (
+            cp_k.astype(jnp.int32)
+            .reshape(ng, SUBL, 128, W)
+            .transpose(0, 3, 1, 2)
+            .reshape(ng * W, SUBL, 128)
+        )
+        return cpT, nu_k.reshape(ng * SUBL, 128)
+
     def in_place_flow(perms, survivors):
         total = sum(b[0].shape[0] for b in buckets)
+        interpret = cs_interpret
 
         def body(carry, xs):
             needle_q = xs[0]
-            keys, metas, counts = [], [], []
-            for b in buckets:
+            keys, counts = [], []
+            for bi, b in enumerate(buckets):
                 cp, nu, idx, _m4, _bits8 = b
-                out8 = run_kernel(
-                    cp, nu, needle_q, cp.shape[0], cp.shape[1]
-                )
-                key, meta, cnt = keys_from(out8, idx)
+                B, W = cp.shape
+                if use_colstream:
+                    cpT, nuT = buckets_T[bi]
+                    m, s, e, ec, g = run_colstream(
+                        cpT, nuT, needle_q, B, W
+                    )
+                    key, cnt = keys_from_cols(
+                        m[:B] > 0, s[:B], e[:B] > 0, ec[:B], g[:B] > 0,
+                        idx,
+                    )
+                else:
+                    out8 = run_kernel(cp, nu, needle_q, B, W)
+                    key, cnt = keys_from(out8, idx)
                 keys.append(key)
-                metas.append(meta)
                 counts.append(cnt)
-            return carry, body_reduce(keys, metas, counts, total)
+            return carry, body_reduce(keys, counts, total)
 
-        _, (keys, metas, counts) = jax.lax.scan(
+        _, (keys, counts) = jax.lax.scan(
             body, jnp.int32(0), (needles_q,)
         )
-        return finalize(keys, metas, counts, presorted=sort_in_body(total))
+        return finalize(keys, counts, presorted=sort_in_body(total))
 
     def compacted_flow(div, perms, survivors):
         # perms: per bucket (Q, B_b) packed keys; survivors: (Q, n_buckets)
         def body(carry, xs):
             needle_q, perm_bs, surv = xs
-            keys, metas, counts = [], [], []
+            keys, counts = [], []
             for bi, b in enumerate(buckets):
                 cp, _nu, idx_arr, _m4, _bits8 = b
                 B, W = cp.shape
@@ -559,7 +619,7 @@ def _fused_match_batch_fast(
                 pk = perm_bs[bi][:cap]
                 row = pk & ((1 << bbits) - 1)
                 nu_k = (
-                    jax.lax.shift_right_logical(pk, bbits)
+                    jax.lax.shift_right_logical(pk, jnp.int32(bbits))
                     & ((1 << W.bit_length()) - 1)
                 )[:, None]
                 cp_k = jnp.take(cp, row, axis=0)
@@ -569,21 +629,30 @@ def _fused_match_batch_fast(
                 else:
                     idx = jnp.take(idx_arr, row)
                 cnt = jnp.minimum(surv[bi], cap)
-                out8 = run_kernel(cp_k, nu_k, needle_q, cnt, W)
-                key, meta, mcnt = keys_from(out8, idx)
+                if use_colstream:
+                    cpT_k, nuT_k = to_colstream_blocks(cp_k, nu_k[:, 0])
+                    m, s, e, ec, g = run_colstream(
+                        cpT_k, nuT_k, needle_q, cnt, W
+                    )
+                    key, mcnt = keys_from_cols(
+                        m[:cap] > 0, s[:cap], e[:cap] > 0, ec[:cap],
+                        g[:cap] > 0, idx,
+                    )
+                else:
+                    out8 = run_kernel(cp_k, nu_k, needle_q, cnt, W)
+                    key, mcnt = keys_from(out8, idx)
                 keys.append(key)
-                metas.append(meta)
                 counts.append(mcnt)
-            return carry, body_reduce(keys, metas, counts, total)
+            return carry, body_reduce(keys, counts, total)
 
         total = sum(
             _bucket_cap(b[0].shape[0], b[0].shape[1], div)
             for b in buckets
         )
-        _, (keys, metas, counts) = jax.lax.scan(
+        _, (keys, counts) = jax.lax.scan(
             body, jnp.int32(0), (needles_q, perms, survivors)
         )
-        return finalize(keys, metas, counts, presorted=sort_in_body(total))
+        return finalize(keys, counts, presorted=sort_in_body(total))
 
     if not use_stage1:
         return in_place_flow(None, None)

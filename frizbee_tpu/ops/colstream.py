@@ -1,0 +1,457 @@
+"""Column-stream (transposed) fused prefilter + Smith-Waterman kernel.
+
+The row-major kernel (ops/kernels.py) lays lanes = haystack units and pays
+~2*log2(W) cross-lane shift ops per needle unit for the gap prefix scan.
+This kernel transposes the layout: BOTH vector dimensions are haystacks
+(a (SUBL, 128) register tile = SUBL*128 independent rows) and the kernel
+iterates sequentially over haystack unit columns, so every DP dependency
+(the gap recurrence, the window scan, the byte-context chain) rides the
+loop for free — ~1 element-op per DP cell instead of ~log W. Measured on
+v5e (benchmarks/probe_transposed*.py): ~20x the row-major kernel on
+full-corpus (in-place) passes, the profile of the reference's pure-DP
+benchmarks (all_match / all_scores, reference BENCHMARKS.md:64).
+
+This is the layout the reference USES for its CPU SIMD (lanes = different
+haystacks, reference README.md:179 "interleaved representation"), rebuilt
+for the 8x128 VPU: rows stream through registers in (SUBL, 128) tiles and
+the needle loop is unrolled at trace time (needle length is static per
+serving group). It complements, not replaces, the row-major kernel: that
+one wins when stage-1 compaction gathers survivor rows (gathers need
+row-major layout); this one wins on in-place flows where every row runs.
+
+Semantics contract: identical to ops/kernels._match_tile ==
+ops/fuzzy.fuzzy_pipeline == the NumPy oracle (differential-tested in
+tests/test_colstream.py). Reference semantics carried: positional
+prefilter with typo budget (src/prefilter/algo/ascii_typos.rs:363-397
+window rules), start-1 window trim (src/matcher/algo.rs:332), the full
+bonus schedule and affine gaps (src/smith_waterman/algo/ascii.rs:10-158),
+exact-match detection (src/matcher/algo.rs:245-248).
+
+Layout: rows group into tiles of GR = SUBL*128; group ``g``'s unit column
+``j`` lives at ``cpT[g*W + j]`` as a (SUBL, 128) tile with row
+``g*GR + s*128 + l`` at [s, l] (a pure reshape+transpose at pack time,
+see corpus.PackedBucket.device_arrays_colstream). ASCII stores int8
+(upcast per column in VMEM); unicode stores int32 codepoints.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import MAX_HAYSTACK_LEN
+
+# Rows per sublane tile: SUBL*128 rows stream per grid step. 8 keeps the
+# ~2n+12 live state tiles to one vreg each (larger tiles spill on long
+# needles); env override for device sweeps.
+SUBL = int(os.environ.get("FRIZBEE_TPU_COLSTREAM_SUBL", "8"))
+
+# Dispatch bounds: per-needle-unit DP state lives in registers (2 tiles
+# per unit), so long needles and large typo budgets take the row-major
+# kernel instead.
+MAX_COLSTREAM_NEEDLE = 16
+MAX_COLSTREAM_TYPOS = 3
+
+GR = None  # computed as SUBL * 128 at call time (SUBL is env-tunable)
+
+
+def colstream_supported(n: int, max_typos, no_prefilter: bool) -> bool:
+    """True when (needle length, typo budget) fits the register budget."""
+    if n < 1 or n > MAX_COLSTREAM_NEEDLE:
+        return False
+    if no_prefilter:
+        return True
+    return int(max_typos) <= MAX_COLSTREAM_TYPOS
+
+
+def _utf8_ctx(hay, valid):
+    """(first_byte, last_byte, byte_len) for one codepoint column.
+    Mirrors kernels._unit_context's per-unit formulas."""
+    blen = (
+        1
+        + (hay >= 0x80).astype(jnp.int32)
+        + (hay >= 0x800).astype(jnp.int32)
+        + (hay >= 0x10000).astype(jnp.int32)
+    )
+    blen = jnp.where(valid, blen, 0)
+    first = jnp.where(
+        hay < 0x80,
+        hay,
+        jnp.where(
+            hay < 0x800,
+            0xC0 | (hay >> 6),
+            jnp.where(
+                hay < 0x10000, 0xE0 | (hay >> 12), 0xF0 | (hay >> 18)
+            ),
+        ),
+    )
+    first = jnp.where(valid, first, 0)
+    last = jnp.where(hay < 0x80, hay, 0x80 | (hay & 0x3F))
+    return first, last, blen
+
+
+def _column(cpT_ref, j, nu, unicode):
+    """Load unit column j: (hay int32, valid, first, last, blen)."""
+    hay = cpT_ref[j].astype(jnp.int32)
+    if not unicode:
+        hay = hay & 0xFF
+    valid = nu > j
+    if unicode:
+        first, last, blen = _utf8_ctx(hay, valid)
+    else:
+        first = jnp.where(valid, hay, 0)
+        last = first
+        blen = valid.astype(jnp.int32)
+    return hay, valid, first, last, blen
+
+
+def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
+                 no_prefilter):
+    """Full-semantics match over one (W, SUBL, 128)-blocked row group.
+
+    Returns int32 (SUBL, 128) tiles: matched, score, exact, end_col,
+    greedy — the per-row contract of kernels._match_tile.
+    """
+    (match_score, mismatch, gap_open, gap_ext, prefix_b, cap_b, case_b,
+     exact_b, delim_b) = scoring
+    gop_extra = max(gap_open - gap_ext, 0)
+    shape = nu.shape
+    z = jnp.zeros(shape, jnp.int32)
+
+    def orig_k(k):
+        return scal_ref[2 + k]
+
+    def flip_k(k):
+        return scal_ref[2 + 64 + k]  # MAX_KERNEL_NEEDLE == 64 pad
+
+    # ---- pass 1: byte totals + positional prefilter -----------------------
+    # n_bytes always (window defaults need it); prefilter state only when on
+    auto = (not no_prefilter) and n <= T
+    run_pf = (not no_prefilter) and not auto
+
+    # The window-tracking state packs into ONE int32 carry per lane
+    # (bit 30 = start-found, bits 29..16 = start byte, bit 14 = end-found,
+    # bits 13..0 = end byte): the TPU backend's register allocator crashes
+    # when several distinct loop carries are all live-out of the loop
+    # (benchmarks/probe_colstream_bisect*.py), and a packed word also
+    # halves the per-column select traffic. Bytes fit 14 bits (widest
+    # bucket = 1024 units x 4 bytes; same bound as ops/batch._pack_meta).
+    W_FF = 1 << 30
+    W_EF = 1 << 14
+    W_HI = ~0x7FFF  # keep bits >= 15 (start fields) on an end update
+
+    def track_start(wtrack, hit, boff):
+        cond = ((wtrack & W_FF) == 0) & hit
+        return wtrack | jnp.where(cond, W_FF | (boff << 16), 0)
+
+    def track_end(wtrack, hit, e_byte):
+        return jnp.where(hit, (wtrack & W_HI) | W_EF | e_byte, wtrack)
+
+    def unpack_track(wtrack, matched, nb):
+        ffound = (wtrack & W_FF) > 0
+        wstart_raw = jnp.where(
+            matched & ffound, (wtrack >> 16) & 0x3FFF, 0
+        )
+        wend = jnp.where(
+            matched & ((wtrack & W_EF) > 0), wtrack & 0x3FFF, nb
+        )
+        return wstart_raw, wend
+
+    if run_pf:
+        if T == 0:
+            # greedy leftmost embedding: np = needle units consumed;
+            # completion/tail tracking per oracle/prefilter.py:47-75.
+            # Flag carries ride as int32 lanes (no i1 block args in
+            # Mosaic). ASCII elides the boff/nb carries: bytes == units,
+            # so boff == j on every valid column.
+            def pf_body(j, c):
+                if unicode:
+                    (np_, wtrack, boff, nb) = c
+                else:
+                    (np_, wtrack) = c
+                hay, valid, _f, _l, blen = _column(cpT_ref, j, nu, unicode)
+                if not unicode:
+                    boff = j
+                    e_byte = j + 1
+                else:
+                    e_byte = boff + blen
+
+                occ_np = jnp.zeros(shape, jnp.bool_)
+                hit0 = occ_last = None
+                for k in range(n):
+                    occ_k = valid & (
+                        (hay == orig_k(k)) | (hay == flip_k(k))
+                    )
+                    occ_np = occ_np | ((np_ == k) & occ_k)
+                    if k == 0:
+                        hit0 = occ_k
+                    if k == n - 1:
+                        occ_last = occ_k
+                # start: first greedy hit of needle[0]
+                wtrack = track_start(wtrack, hit0, boff)
+                np2 = np_ + occ_np.astype(jnp.int32)
+                # end: last occurrence of the final unit at-or-after the
+                # greedy completion position (completion column included)
+                wtrack = track_end(wtrack, occ_last & (np2 >= n), e_byte)
+                if unicode:
+                    return (np2, wtrack, boff + blen, nb + blen)
+                return (np2, wtrack)
+
+            init = (z, z, z, z) if unicode else (z, z)
+            out = jax.lax.fori_loop(0, W, pf_body, init)
+            np_, wtrack = out[0], out[1]
+            nb = out[3] if unicode else jnp.minimum(nu, W)
+            matched = np_ >= n
+            wstart_raw, wend = unpack_track(wtrack, matched, nb)
+            # unmatched rows keep the full-row window defaults
+            wstart_raw = jnp.where(matched, wstart_raw, 0)
+        else:
+            # minimal-position DP, j-major form: g[t] = longest needle
+            # prefix embeddable with <= t deletions in hay[0..j) (the
+            # free-deletion closure g[t] >= g[t-1]+1 applied per column);
+            # matched <=> g[T] >= n. Window rules: start = min first
+            # occurrence among needle[0..=T]; end = last occurrence of
+            # any of the last T+1 units (ascii_typos.rs:363-397).
+            def pf_body(j, c):
+                if unicode:
+                    g, wtrack, boff, nb = c[0], c[1], c[2], c[3]
+                else:
+                    g, wtrack = c[0], c[1]
+                hay, valid, _f, _l, blen = _column(cpT_ref, j, nu, unicode)
+                if not unicode:
+                    boff = j
+                    e_byte = j + 1
+                else:
+                    e_byte = boff + blen
+
+                hits = [jnp.zeros(shape, jnp.bool_) for _ in range(T + 1)]
+                hit_low = jnp.zeros(shape, jnp.bool_)
+                hit_tail = jnp.zeros(shape, jnp.bool_)
+                for k in range(n):
+                    occ_k = valid & (
+                        (hay == orig_k(k)) | (hay == flip_k(k))
+                    )
+                    for t in range(T + 1):
+                        hits[t] = hits[t] | ((g[t] == k) & occ_k)
+                    if k <= T:
+                        hit_low = hit_low | occ_k
+                    if k >= n - 1 - T:
+                        hit_tail = hit_tail | occ_k
+                g = [
+                    g[t] + hits[t].astype(jnp.int32) for t in range(T + 1)
+                ]
+                # free-deletion closure (ascending t propagates chains)
+                for t in range(1, T + 1):
+                    g[t] = jnp.maximum(g[t], g[t - 1] + 1)
+                wtrack = track_start(wtrack, hit_low, boff)
+                wtrack = track_end(wtrack, hit_tail, e_byte)
+                if unicode:
+                    return (tuple(g), wtrack, boff + blen, nb + blen)
+                return (tuple(g), wtrack)
+
+            g0 = tuple(jnp.full(shape, t, jnp.int32) for t in range(T + 1))
+            init = (g0, z, z, z) if unicode else (g0, z)
+            out = jax.lax.fori_loop(0, W, pf_body, init)
+            g, wtrack = out[0], out[1]
+            nb = out[3] if unicode else jnp.minimum(nu, W)
+            matched = g[T] >= n
+            wstart_raw, wend = unpack_track(wtrack, matched, nb)
+    else:
+        def nb_body(j, c):
+            nb = c
+            _hay, valid, _f, _l, blen = _column(cpT_ref, j, nu, unicode)
+            return nb + blen
+
+        if unicode:
+            nb = jax.lax.fori_loop(0, W, nb_body, z)
+        else:
+            nb = jnp.minimum(nu, W)
+        matched = jnp.ones(shape, jnp.bool_)
+        wstart_raw = z
+        wend = nb
+
+    # ---- pass 2: windowed affine-gap SW (bonus schedule) ------------------
+    # start-1 trim keeps delimiter context (ref: src/matcher/algo.rs:332)
+    wstart = jnp.maximum(wstart_raw - 1, 0)
+    include_exact = (wstart == 0) & (wend == nb)
+    include_prefix = wstart == 0
+
+    def sw_body(j, c):
+        # flag carries ride as int32 lanes (no i1 block args in Mosaic);
+        # the previous column's per-k match flags pack into ONE bitmask
+        # carry (mm_bits) instead of n gap-adjusted tiles — the TPU
+        # backend's register allocator chokes past ~2n live loop carries
+        (h, mm_bits, boff, prev_last, seen_first, best, end_b, neq) = c
+        hay, valid, first, last, blen = _column(cpT_ref, j, nu, unicode)
+        active = valid & (boff >= wstart) & (boff + blen <= wend)
+        is_first = active & (seen_first == 0)
+        seen_first = seen_first | active.astype(jnp.int32)
+
+        pb = jnp.where(valid, prev_last, -1)
+        is_upper = (first >= 0x41) & (first <= 0x5A)
+        prev_lower = (pb >= 0x61) & (pb <= 0x7A)
+
+        def delim(b):
+            letter = (
+                ((b >= 0x41) & (b <= 0x5A)) | ((b >= 0x61) & (b <= 0x7A))
+            )
+            digit = (b >= 0x30) & (b <= 0x39)
+            return (b >= 0) & (b <= 127) & ~letter & ~digit
+
+        cap_mask = is_upper & prev_lower & ~is_first
+        delim_mask = delim(pb) & ~delim(first) & ~is_first
+        bonus = (
+            jnp.where(cap_mask, cap_b, 0)
+            + jnp.where(delim_mask, delim_b, 0)
+            + jnp.where(is_first & include_prefix, prefix_b, 0)
+        )
+
+        diag_in = z          # H[k-1] at column j-1 (0 for k == 0)
+        up_src = z           # H[k-1] at column j (0 for k == 0)
+        mm_prev = jnp.zeros(shape, jnp.bool_)  # match[k-1] at column j
+        h_new = []
+        mm_new = z
+        for k in range(n):
+            occ = active & ((hay == orig_k(k)) | (hay == flip_k(k)))
+            exactc = active & (hay == orig_k(k))
+            diag = jnp.where(
+                occ,
+                diag_in + match_score + bonus
+                + jnp.where(exactc, case_b, 0),
+                jnp.maximum(diag_in - mismatch, 0),
+            )
+            up = jnp.maximum(
+                up_src - gap_ext - jnp.where(mm_prev, gop_extra, 0),
+                0,
+            )
+            # left gap: H[k][j-1] - (gap_ext + gop_extra*match[k][j-1]),
+            # the previous column's match flag unpacked from mm_bits
+            left = (
+                h[k] - gap_ext
+                - jnp.where((mm_bits >> k) & 1 > 0, gop_extra, 0)
+            )
+            cur = jnp.maximum(jnp.maximum(diag, up), left)
+            diag_in = h[k]
+            up_src = cur
+            mm_prev = occ
+            h_new.append(cur)
+            mm_new = mm_new | (occ.astype(jnp.int32) << k)
+            if k == n - 1:
+                masked = jnp.where(active, cur, 0)
+                upd = masked > best
+                end_b = jnp.where(upd, boff, end_b)
+                best = jnp.maximum(best, masked)
+        # exact-equality accumulation: haystack unit j vs needle unit j
+        # (case-sensitive; ref src/matcher/algo.rs:245-248) — dynamic SMEM
+        # scalar load; columns at/after n contribute 0 via the scalar
+        # int32 gate (a scalar-bool & vector-mask broadcast won't lower)
+        nv_j = scal_ref[2 + jnp.minimum(j, 63)]
+        gate = jnp.where(j < n, 1, 0)  # scalar int32
+        neq = neq | ((hay != nv_j).astype(jnp.int32) & gate)
+        return (tuple(h_new), mm_new, boff + blen, last,
+                seen_first, best, end_b, neq)
+
+    h0 = tuple(z for _ in range(n))
+    init = (h0, z, z, jnp.full(shape, -1, jnp.int32),
+            z, z, z, z)
+    (_h, _mm, _bo, _pl, _sf, best, end_b, neq) = jax.lax.fori_loop(
+        0, W, sw_body, init
+    )
+
+    score = jnp.maximum(best, 0)
+    end_col = jnp.where(score > 0, end_b, wstart)
+    exact = include_exact & (nu == n) & (neq == 0)
+    score = jnp.where(exact, jnp.minimum(score + exact_b, 0xFFFF), score)
+    if auto:
+        matched = jnp.ones(shape, jnp.bool_)
+    greedy = matched & ((wend - wstart) > MAX_HAYSTACK_LEN)
+    return (
+        matched.astype(jnp.int32),
+        score,
+        exact.astype(jnp.int32),
+        end_col,
+        greedy.astype(jnp.int32),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "W", "n", "max_typos", "scoring", "unicode", "no_prefilter",
+        "interpret",
+    ),
+)
+def match_units_colstream(
+    cpT: jnp.ndarray,   # (nG*W, SUBL, 128) int8 (ascii) / int32 (unicode)
+    nuT: jnp.ndarray,   # (nG*SUBL, 128) int32 unit counts
+    scalars: jnp.ndarray,  # kernels.pack_needle_scalars layout (SMEM)
+    *,
+    W: int,
+    n: int,
+    max_typos: int = 0,
+    scoring: Tuple[int, ...],
+    unicode: bool = False,
+    no_prefilter: bool = False,
+    interpret: bool = False,
+):
+    """Transposed fused match over nG groups of SUBL*128 rows.
+
+    Returns (matched, score, exact, end_col, greedy) int32 columns, each
+    (nG*SUBL*128,), in row order b = g*SUBL*128 + s*128 + l (the order
+    device_arrays_colstream packs). Needle length ``n`` and the typo
+    budget are static (the serving batch groups queries by them).
+    """
+    subl = cpT.shape[1]
+    nG = cpT.shape[0] // W
+    T = min(int(max_typos), n)
+
+    def kernel(scal_ref, cpT_ref, nu_ref, *outs):
+        # scalars[0] = live row count: whole blocks past it (compacted
+        # survivor tails) skip the DP and write zeros (matched == 0),
+        # so kernel cost scales with survivors like match_units
+        base = pl.program_id(0) * subl * 128
+
+        @pl.when(base < scal_ref[0])
+        def _():
+            cols = _match_block(
+                scal_ref, cpT_ref, nu_ref[...], W, n, T, scoring,
+                unicode, no_prefilter,
+            )
+            for o, c in zip(outs, cols):
+                o[...] = c
+
+        @pl.when(base >= scal_ref[0])
+        def _():
+            for o in outs:
+                o[...] = jnp.zeros((subl, 128), jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nG,),
+        in_specs=[
+            pl.BlockSpec((W, subl, 128), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((subl, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((subl, 128), lambda i, *_: (i, 0))
+            for _ in range(5)
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((nG * subl, 128), jnp.int32)
+            for _ in range(5)
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(scalars, cpT, nuT)
+    return tuple(o.reshape(-1) for o in outs)

@@ -284,7 +284,9 @@ def _match_tile(scalars_ref, hay_in, nu, n, T, width, scoring, unicode,
         col32m = col32
     else:
         col32m = col32 & (S - 1)
-        seg_id = jax.lax.shift_right_logical(col32, S.bit_length() - 1)
+        seg_id = jax.lax.shift_right_logical(
+            col32, jnp.int32(S.bit_length() - 1)
+        )
     col = col32m.astype(acc)
 
     if G == 1:

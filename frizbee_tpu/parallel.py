@@ -187,6 +187,31 @@ def pad_bucket_for_mesh(bucket, n_shards: int):
     )
 
 
+def put_global_sharded(arr, mesh: Mesh, spec=None):
+    """Build a mesh-global device array from host data, working in BOTH
+    controller modes. Single-controller (one process owns every device):
+    a plain ``device_put``. Multi-controller (``jax.distributed`` — each
+    process owns a slice of the mesh): every process passes the full host
+    array and feeds only its own devices' rows through
+    ``jax.make_array_from_process_local_data``, the documented multi-host
+    data path. Row-sharded specs require the leading dim to divide the
+    process count (pad_bucket_for_mesh guarantees a mesh-size multiple).
+    """
+    spec = P(DATA_AXIS) if spec is None else spec
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    if spec == P():
+        local = arr  # replicated: every process feeds the full copy
+    else:
+        pc, pi = jax.process_count(), jax.process_index()
+        chunk = arr.shape[0] // pc
+        local = arr[pi * chunk : (pi + 1) * chunk]
+    return jax.make_array_from_process_local_data(
+        sharding, np.asarray(local), arr.shape
+    )
+
+
 def match_corpus_sharded(
     corpus, engine, mesh: Mesh, k: int = 64
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -195,7 +220,10 @@ def match_corpus_sharded(
     Host-side wrapper over ``sharded_match_topk``; greedy/XL rows are
     rescored by the engine's host path, exactly like the single-device
     engine. Returns (index, score, exact, end_col) of the global top-k in
-    (score desc, index asc) order.
+    (score desc, index asc) order. Works single- and multi-controller:
+    every process packs the same corpus and the data feed goes through
+    ``put_global_sharded`` (2-process end-to-end equality is test-pinned,
+    tests/test_multihost.py).
     """
     no_prefilter = engine.config.max_typos is None
     typos = 0 if no_prefilter else int(engine.config.max_typos)
@@ -205,16 +233,14 @@ def match_corpus_sharded(
     parts = []
     for bucket in corpus.buckets:
         arrs = pad_bucket_for_mesh(bucket, n)
-        sharding = NamedSharding(mesh, P(DATA_AXIS))
-        repl = NamedSharding(mesh, P())
-        dev_arrs = [jax.device_put(a, sharding) for a in arrs]
+        dev_arrs = [put_global_sharded(a, mesh) for a in arrs]
         matched, index, score, exact, end_col, greedy = [
             np.array(x)  # writable: greedy rows are patched below
             for x in sharded_match_topk(
                 *dev_arrs,
-                jax.device_put(orig, repl),
-                jax.device_put(flip, repl),
-                jax.device_put(sc, repl),
+                put_global_sharded(np.asarray(orig), mesh, P()),
+                put_global_sharded(np.asarray(flip), mesh, P()),
+                put_global_sharded(np.asarray(sc), mesh, P()),
                 mesh=mesh, max_typos=typos, no_prefilter=no_prefilter, k=k,
             )
         ]
@@ -254,250 +280,243 @@ def match_corpus_sharded(
 # -- batched (multi-query) sharded serving -----------------------------------
 
 
-def _pad_kernel_bucket_for_mesh(bucket, n_shards: int, unicode: bool):
-    """Mesh-pad a bucket's kernel-path arrays (rows padded to a multiple
-    of the shard count): zero units, -1 indices (can never match), zero
-    presence masks. Returns (cp, n_units, indices, mask4) jnp arrays."""
-    arrs = (
-        bucket.device_arrays_units()
-        if unicode
-        else bucket.device_arrays_ascii()
-    )
-    cp, nu, idx, mask4, _bits8 = arrs
-    pad = (-cp.shape[0]) % n_shards
-    if pad:
-        cp = jnp.pad(cp, ((0, pad), (0, 0)))
-        nu = jnp.pad(nu, ((0, pad), (0, 0)))
-        idx = jnp.pad(idx, (0, pad), constant_values=-1)
-        mask4 = jnp.pad(mask4, ((0, pad), (0, 0)))
-    return cp, nu, idx, mask4
+def _pad_rows(x, pad: int, fill=0):
+    if pad == 0:
+        return x
+    cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, cfg, constant_values=fill)
+
+
+def _mesh_pad_buckets(corpus, use_kernel: bool, n_shards: int):
+    """Mesh-pad every bucket's device arrays for the sharded general body:
+    kernel 5-tuples or jnp 8-tuples with rows padded to a shard multiple
+    (zero units, index -1 — the same can't-match convention as the
+    corpus's own size-class padding, ops/batch._fused_match_body)."""
+    out = []
+    for b in corpus.buckets:
+        if use_kernel:
+            arrs = (
+                b.device_arrays_units()
+                if corpus.unicode
+                else b.device_arrays_ascii()
+            )
+            cp, nu, idx, mask4, bits8 = arrs
+            pad = (-cp.shape[0]) % n_shards
+            out.append((
+                _pad_rows(cp, pad), _pad_rows(nu, pad),
+                _pad_rows(idx, pad, -1), _pad_rows(mask4, pad),
+                _pad_rows(bits8, pad),
+            ))
+        else:
+            cp, fb, plb, boff, blen, nu, nb, idx = b.device_arrays()
+            pad = (-cp.shape[0]) % n_shards
+            out.append((
+                _pad_rows(cp, pad), _pad_rows(fb, pad),
+                _pad_rows(plb, pad, -1), _pad_rows(boff, pad),
+                _pad_rows(blen, pad), _pad_rows(nu, pad),
+                _pad_rows(nb, pad), _pad_rows(idx, pad, -1),
+            ))
+    return tuple(out)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mesh", "max_typos", "no_prefilter", "unicode", "scoring", "k",
+        "mesh", "n", "pattern_statics", "sort_by_score", "use_kernel",
+        "unicode", "score_bound", "fetch_rows",
     ),
 )
-def sharded_batch_topk(
-    cp, n_units, row_index, mask4, needles_q,
-    *, mesh: Mesh, max_typos: int, no_prefilter: bool, unicode: bool,
-    scoring: Tuple[int, ...], k: int,
+def sharded_match_sorted_batch(
+    buckets, stacked_patterns,
+    *, mesh: Mesh, n: int, pattern_statics: Tuple,
+    sort_by_score: bool, use_kernel: bool, unicode: bool,
+    score_bound, fetch_rows: int,
 ):
-    """Q-query mesh-sharded bucket top-k: the multi-chip form of the
-    single-chip serving fast path (ops/batch._fused_match_batch_fast).
+    """Q-query mesh-sharded serving over the FULL query syntax: the
+    multi-chip form of ops/batch.fused_match_sorted_batch.
 
-    The bucket's kernel arrays are sharded data-parallel over ``mesh``;
-    each device scans the Q stacked needles through the fused stage-1 +
-    prefilter + Smith-Waterman kernel path (ops/kernels.fuzzy_match_units
-    — the same kernels the single-chip path runs), sorts its local rows
-    by the shared global order key (ops/batch.order_keys), and keeps a
-    local top-k per query. Exact per-query match counts ``psum`` over the
-    mesh; local top-ks ``all_gather`` over ICI and merge with one
-    replicated sort — because keys embed the unique global row index the
-    merged order is total, so the result is identical to the sequential
-    one (the reference's parallel==sequential property,
-    tests/api_properties.rs:79-114).
+    Each device runs the general single-chip match body
+    (ops/batch._fused_match_body — multi-pattern combine with negation
+    veto, literal modes, fuzzy kernels with stage-1 compaction, every
+    sort strategy) over its shard of every bucket, keeps its local
+    sorted top-``fetch_rows`` [index, meta] rows, and the shards merge
+    with one ``all_gather`` over ICI plus a replicated sort on keys
+    rebuilt from the rows (score rides meta; the unique global index
+    makes the order total, so the merged result is identical to the
+    sequential one — the reference's parallel==sequential property,
+    tests/api_properties.rs:79-114). Exact per-query match counts
+    ``psum`` across the mesh.
 
-    Inputs: cp (B, W) units, n_units (B, 1), row_index (B,) with -1 on
-    padding rows, mask4 (B, 4) presence masks — B a multiple of the mesh
-    size — and needles_q (Q, 2n) stacked [orig | flip] needles,
-    replicated. Returns replicated (counts (Q,), index (Q, k), score,
-    exact, end_col, needs_greedy); index -1 marks empty slots. Rows
-    flagged needs_greedy carry window-capped device scores and must be
-    host-rescored (match_topk_batch_sharded does).
+    Returns a replicated (Q, 1 + fetch_rows, 2) int32 array with the
+    same layout as the single-chip batch program: row 0 is
+    [total_count, 0], rows 1.. are [index, meta] (meta as in
+    ops/batch._pack_meta). Callers apply the same host fixups as the
+    single-chip path (matcher._finalize_topk).
     """
+    from .ops.batch import _fused_match_body
 
-    def shard_fn(cp, nu, idx, mask4, needles_q):
-        kk = min(k, cp.shape[0])
-
-        def body(carry, needle_q):
-            m, s, e, ec, g = fuzzy_match_units(
-                cp, nu, needle_q, max_typos=max_typos,
-                no_prefilter=no_prefilter, scoring=scoring,
-                unicode=unicode, mask4=mask4,
-            )
-            matched = m & (idx >= 0)
-            key1, key2 = _order_keys(matched, s, idx)
-            aux = (e.astype(jnp.int32) << 1) | g.astype(jnp.int32)
-            # keys embed the unique row index -> total order, so the
-            # sort need not be stable; score rides key1 (= -score on
-            # matched rows) and is recovered after the merge
-            key1, key2, aux, ec = jax.lax.sort(
-                (key1, key2, aux, ec), num_keys=2, is_stable=False
-            )
-            cnt = jnp.sum(matched).astype(jnp.int32)
-            if kk < k:  # shard smaller than k: pad with unmatched slots
-                key1 = jnp.pad(key1[:kk], (0, k - kk), constant_values=1)
-                key2 = jnp.pad(
-                    key2[:kk], (0, k - kk), constant_values=PAD_INDEX
-                )
-                aux = jnp.pad(aux[:kk], (0, k - kk))
-                ec = jnp.pad(ec[:kk], (0, k - kk))
-            else:
-                key1, key2, aux, ec = key1[:k], key2[:k], aux[:k], ec[:k]
-            return carry, (key1, key2, aux, ec, cnt)
-
-        _, (key1, key2, aux, ec, cnt) = jax.lax.scan(
-            body, jnp.int32(0), needles_q
+    def shard_fn(buckets, stacked):
+        b_local = sum(
+            b[2 if len(b) == 5 else 7].shape[0] for b in buckets
         )
-        counts = jax.lax.psum(cnt, DATA_AXIS)
-        gathered = jax.lax.all_gather(
-            (key1, key2, aux, ec), DATA_AXIS, tiled=False
-        )  # each (shards, Q, k)
-        q = needles_q.shape[0]
+        kl = max(1, min(fetch_rows, b_local))
+
+        def body(carry, patterns):
+            out = _fused_match_body(
+                buckets, patterns, None, n, pattern_statics,
+                sort_by_score, use_kernel, unicode, score_bound,
+            )
+            return carry, out[: 1 + kl]
+
+        _, outs = jax.lax.scan(body, jnp.int32(0), stacked)
+        q = outs.shape[0]
+        cl = outs[:, 0, 0]  # local match counts
+        counts = jax.lax.psum(cl, DATA_AXIS)
+        index_l = outs[:, 1:, 0]
+        meta_l = outs[:, 1:, 1]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (q, kl), 1)
+        valid = pos < cl[:, None]
+        # Merge keys rebuilt from the rows: the device-side order is
+        # ALWAYS (matched first, score desc, index asc) for score sorts
+        # and index asc otherwise — exactly _select_sorted's order; any
+        # reversed-strategy transform happens on the host afterward,
+        # like the single-chip path (matcher._host_fixups).
+        score = jax.lax.shift_right_logical(meta_l, 16)
+        if sort_by_score:
+            key1 = jnp.where(valid, -score, PAD_INDEX)
+            key2 = jnp.where(valid, index_l, PAD_INDEX)
+        else:
+            key1 = jnp.where(valid, index_l, PAD_INDEX)
+            key2 = key1
+        meta_m = jnp.where(valid, meta_l, 0)
+        g1, g2, gm = jax.lax.all_gather(
+            (key1, key2, meta_m), DATA_AXIS, tiled=False
+        )  # each (shards, Q, kl)
         ops = tuple(
-            jnp.swapaxes(x, 0, 1).reshape(q, -1) for x in gathered
+            jnp.swapaxes(x, 0, 1).reshape(q, -1) for x in (g1, g2, gm)
         )
-        k1m, k2m, auxm, ecm = jax.lax.sort(
+        k1, k2, mm = jax.lax.sort(
             ops, dimension=1, num_keys=2, is_stable=False
         )
-        return counts, k1m[:, :k], k2m[:, :k], auxm[:, :k], ecm[:, :k]
+        f = min(fetch_rows, k2.shape[1])
+        matched_m = k2[:, :f] != PAD_INDEX
+        idx_m = jnp.where(matched_m, k2[:, :f], 0)
+        mm = jnp.where(matched_m, mm[:, :f], 0)
+        rows = jnp.stack([idx_m, mm], axis=2)
+        if f < fetch_rows:
+            rows = jnp.pad(rows, ((0, 0), (0, fetch_rows - f), (0, 0)))
+        header = jnp.stack(
+            [counts, jnp.zeros_like(counts)], axis=1
+        )[:, None, :]
+        return jnp.concatenate([header, rows], axis=1)
 
-    shard = P(DATA_AXIS)
-    repl = P()
-    counts, key1, key2, aux, ec = jax.shard_map(
+    return jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(shard, shard, shard, shard, repl),
-        out_specs=(repl,) * 5,
+        in_specs=(
+            jax.tree.map(lambda _: P(DATA_AXIS), buckets),
+            jax.tree.map(lambda _: P(), stacked_patterns),
+        ),
+        out_specs=P(),
         check_vma=False,
-    )(cp, n_units, row_index, mask4, needles_q)
-    matched = key2 != PAD_INDEX
-    index = jnp.where(matched, key2, -1)
-    score = jnp.where(matched, -key1, 0)
-    exact = matched & ((aux >> 1) == 1)
-    greedy = matched & ((aux & 1) == 1)
-    return counts, index, score, exact, ec, greedy
+    )(buckets, stacked_patterns)
 
 
 def match_topk_batch_sharded(
     queries, corpus, mesh: Mesh, config=None, k: int = 64
 ):
     """Multi-query mesh-sharded top-k serving: the multi-chip form of
-    ``matcher.match_topk_batch``. Q queries run against a corpus sharded
-    data-parallel over ``mesh``, one device program per (bucket, query
-    group); each returns ``(total_count, index, score, exact, end_col)``
-    with at most ``k`` rows in (score desc, index asc) order — content
-    identical to the single-device serving path (test-pinned).
+    ``matcher.match_topk_batch``, covering the FULL query syntax —
+    multi-pattern combine (sum/OR/max, negation veto), literal modes,
+    typo budgets, every sort strategy (reference parallel path:
+    src/matcher/parallel.rs:18-89 over every pattern type).
 
-    Queries the sharded kernel path can't serve (multi-pattern, literal
-    modes, negation, empty or unit-mode-mismatched needles, non-default
-    sort) fall back to the single-device path transparently, like
-    ``match_arrays_batch`` does. Greedy/XL rows are handled by the same
-    ``_host_fixups`` the single-device serving path runs, applied to the
-    same globally-ordered fetched set, so the outputs can't diverge.
+    Q queries run against a corpus sharded data-parallel over ``mesh``,
+    grouped into one device program per query shape (pattern count,
+    needle lengths, statics); each returns ``(total_count, index, score,
+    exact, end_col)`` with at most ``k`` rows — content identical to the
+    single-device serving path (test-pinned at 2/4/8 shards). Greedy/XL
+    rows are handled by the same ``_finalize_topk`` host fixups the
+    single-device path runs, applied to the same globally-ordered
+    fetched set, so outputs can't diverge. Queries the fused device path
+    can't serve (empty needles, unit-mode mismatch with the corpus
+    packing) fall back to the single-device path transparently.
     """
-    from .config import Config, SortStrategy
-    from .matcher import _finalize_topk, _resolve_batch
+    from .config import Config
+    from .matcher import Matcher, _finalize_topk, _resolve_batch
 
     config = config or Config()
     matchers, corpus = _resolve_batch(queries, corpus, config)
     n_shards = int(mesh.devices.size)
+    kfetch = max(1, min(k, len(corpus)))
 
     groups = {}
-    results = [None] * len(matchers)
+    raw = [None] * len(matchers)
+    prepared = {}
     for i, m in enumerate(matchers):
-        if not (
-            m._fused_supported()
-            and len(m._compiled) == 1
-            and not m._compiled[0].negated
-            and m._compiled[0].config.matching.is_fuzzy
-            and m._compiled[0].engine.unicode == corpus.unicode
-            and m._config.sort == SortStrategy.SCORE_THEN_INDEX_ASC
-        ):
+        if not m._fused_supported() or not m._compiled:
             continue
+        if m._compiled[0].engine.unicode != corpus.unicode:
+            continue
+        if not corpus.buckets:
+            continue  # XL/empty corpus: nothing to shard, host path only
         _b, _p, statics, use_kernel, _bst = m._fused_device_args(corpus)
-        if not use_kernel:
-            continue
-        n_len = len(m._compiled[0].engine.units.orig)
-        groups.setdefault((statics[0], n_len), []).append(i)
-
-    repl_sh = NamedSharding(mesh, P())
-    shard_sh = NamedSharding(mesh, P(DATA_AXIS))
-    # Mesh-pad + shard each bucket once (group-independent), and dispatch
-    # every (group, bucket) program before fetching anything: each fetch
-    # pays a host-link round trip, so all device work launches first
-    sharded_buckets = [
-        [
-            jax.device_put(a, shard_sh)
-            for a in _pad_kernel_bucket_for_mesh(
-                bucket, n_shards, corpus.unicode
-            )
-        ]
-        for bucket in (corpus.buckets if groups else [])
-    ]
-    pending = []
-    for (statics, _n_len), members in groups.items():
-        typos, nopre, _neg, scoring, _mode, _nbl = statics
-        needles = np.stack([
-            np.concatenate(
-                matchers[i]._compiled[0].engine._host_needle()[:2]
-            )
-            for i in members
-        ]).astype(np.int32)
-        needles_d = jax.device_put(needles, repl_sh)
-        per_bucket = []
-        for arrs in sharded_buckets:
-            out = sharded_batch_topk(
-                *arrs, needles_d,
-                mesh=mesh, max_typos=typos, no_prefilter=nopre,
-                unicode=corpus.unicode, scoring=scoring, k=k,
-            )
-            for x in out:
-                try:
-                    x.copy_to_host_async()
-                except AttributeError:
-                    pass
-            per_bucket.append(out)
-        pending.append((members, per_bucket))
-
-    kfetch = min(k, len(corpus))
-    for members, per_bucket in pending:
-        per_bucket = [[np.asarray(x) for x in out] for out in per_bucket]
-        for qi, i in enumerate(members):
-            # Merge per-bucket candidates into the globally-ordered
-            # fetched set (per-bucket top-k is a superset of each
-            # bucket's members of the global top-k), then hand it to the
-            # same host fixups the single-device serving path applies —
-            # greedy rescoring and (presence-gated) XL rows included
-            count, parts = 0, []
-            for counts, index, score, exact, ec, greedy in per_bucket:
-                count += int(counts[qi])
-                sel = index[qi] >= 0
-                parts.append((
-                    index[qi][sel], score[qi][sel], exact[qi][sel],
-                    ec[qi][sel], greedy[qi][sel],
-                ))
-            cols = [
-                np.concatenate([p[c] for p in parts])
-                if parts
-                else np.zeros(0, np.int64)
-                for c in range(5)
-            ]
-            order = np.lexsort((cols[0], -cols[1]))[:kfetch]
-            bi, bs, be, bec, bg = (c[order] for c in cols)
-            fetched = len(bi)
-            index, score, exact, end_col = matchers[i]._host_fixups(
-                corpus,
-                bi.astype(np.int64), bs.astype(np.int64),
-                be.astype(bool), bec.astype(np.int64), bg.astype(bool),
-            )
-            # keep the exact total in sync with the fixups' delta, as
-            # the single-device _finalize_topk does
-            count += len(index) - fetched
-            results[i] = (
-                count, index[:k], score[:k], exact[:k], end_col[:k]
-            )
-
-    # Single-device fallback for everything the sharded path skipped
-    # (same branch _finalize_topk takes for unserved queries)
-    leftover = [i for i in range(len(matchers)) if results[i] is None]
-    if leftover:
-        fb = _finalize_topk(
-            [matchers[i] for i in leftover], corpus,
-            [None] * len(leftover), k,
+        patterns_host = tuple(
+            cp.engine._host_needle() for cp in m._compiled
         )
-        for j, i in enumerate(leftover):
-            results[i] = fb[j]
-    return results
+        key = (
+            statics,
+            tuple(p[0].shape[0] for p in patterns_host),
+            use_kernel,
+        )
+        groups.setdefault(key, []).append(i)
+        prepared[i] = patterns_host
+
+    padded_cache = {}
+    shard_sh = NamedSharding(mesh, P(DATA_AXIS))
+    repl_sh = NamedSharding(mesh, P())
+    pending = []
+    for (statics, _lens, use_kernel), members in groups.items():
+        if use_kernel not in padded_cache:
+            padded_cache[use_kernel] = jax.tree.map(
+                lambda a: jax.device_put(a, shard_sh),
+                _mesh_pad_buckets(corpus, use_kernel, n_shards),
+            )
+        buckets = padded_cache[use_kernel]
+        n_pat = len(statics)
+        stacked = tuple(
+            tuple(
+                jax.device_put(
+                    jnp.asarray(
+                        np.stack([prepared[i][p][a] for i in members])
+                    ),
+                    repl_sh,
+                )
+                for a in range(3)
+            )
+            for p in range(n_pat)
+        )
+        out = sharded_match_sorted_batch(
+            buckets, stacked,
+            mesh=mesh, n=len(corpus), pattern_statics=statics,
+            sort_by_score=config.sort.is_by_score, use_kernel=use_kernel,
+            unicode=corpus.unicode,
+            score_bound=matchers[members[0]]._score_bound(),
+            fetch_rows=kfetch,
+        )
+        try:
+            out.copy_to_host_async()
+        except AttributeError:
+            pass
+        pending.append((out, members))
+
+    for out, members in pending:
+        all_rows = np.asarray(out)  # one fetch per group
+        for qi, i in enumerate(members):
+            block = all_rows[qi]
+            count = int(block[0, 0])
+            rows = block[1 : 1 + min(count, block.shape[0] - 1)]
+            raw[i] = (count,) + Matcher._decode_rows(rows)
+    # _finalize_topk applies the same host fixups + greedy-overflow
+    # fallback + per-query single-device fallback as match_topk_batch
+    return _finalize_topk(matchers, corpus, raw, k)

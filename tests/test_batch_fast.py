@@ -157,38 +157,41 @@ def test_in_body_sort_parity():
         _assert_query_parity(
             pack_corpus(hay2, unicode=False), ["deadbeef"], Config()
         )
-        # the real 10M-row configuration: wide keys AND in-body sort at
-        # once (the presorted+wide finalize decode)
-        ob._FORCE_WIDE_KEYS = True
-        jax.clear_caches()
-        _assert_query_parity(corpus, ["deadbeef", "eadb"], Config(), k=25)
     finally:
         ob.SORT_BODY_BUDGET = old
-        ob._FORCE_WIDE_KEYS = False
         jax.clear_caches()
 
 
-def test_wide_result_keys_parity():
-    """Corpora too large for the packed one-word result key (10M+ rows:
-    score_bits + idx_bits > 31) switch to a two-key (-score, index) sort.
-    Force that layout on a small corpus and pin parity with the oracle.
-    Uses a distinct corpus size class so the forced trace can't hit a
-    cached narrow-key program."""
-    import jax
+def test_key64_layout_roundtrip():
+    """The int64 result key ([-((score << idx_bits) | (idx_mask - index))
+    << 16 | meta16], ops/batch keys_from/decode) must realize (score
+    desc, index asc) and round-trip meta at EVERY corpus scale — pinned
+    here up to idx_bits=31 (2^31-row corpora) without building one."""
+    import numpy as np
 
-    import frizbee_tpu.ops.batch as ob
-
-    hay = partial_match_corpus(median_length=24, num_samples=6800, seed=17)
-    corpus = pack_corpus(hay, unicode=False)
-    try:
-        ob._FORCE_WIDE_KEYS = True
-        jax.clear_caches()
-        _assert_query_parity(corpus, ["deadbeef", "dbef", "eadb"],
-                             Config())
-        _assert_query_parity(corpus, ["deadbeef"], Config(), k=40)
-    finally:
-        ob._FORCE_WIDE_KEYS = False
-        jax.clear_caches()
+    rng = np.random.default_rng(7)
+    for idx_bits in (10, 20, 24, 31):
+        m = 4096
+        idx_mask = (1 << idx_bits) - 1
+        score = rng.integers(0, 0x10000, m).astype(np.int64)
+        index = rng.integers(0, min(idx_mask + 1, 1 << 31), m)
+        index = np.unique(index)
+        score = score[: len(index)]
+        meta16 = rng.integers(0, 0x10000, len(index)).astype(np.int64)
+        comp = (score << idx_bits) | (idx_mask - index)
+        k64 = ((-comp) << 16) | meta16
+        order = np.argsort(k64, kind="stable")
+        want = np.lexsort((index, -score))
+        np.testing.assert_array_equal(index[order], index[want])
+        np.testing.assert_array_equal(score[order], score[want])
+        # decode round-trip (the finalize path's arithmetic)
+        comp2 = -(k64 >> 16)
+        s2 = comp2 >> idx_bits
+        i2 = idx_mask - (comp2 & idx_mask)
+        m2 = k64 & 0xFFFF
+        np.testing.assert_array_equal(s2, score)
+        np.testing.assert_array_equal(i2, index)
+        np.testing.assert_array_equal(m2, meta16)
 
 
 def test_fast_empty_batch_short_circuit():

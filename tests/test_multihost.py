@@ -67,15 +67,62 @@ def _free_port():
     return port
 
 
-@pytest.mark.slow
-def test_two_process_distributed_smoke():
+WORKER_E2E = r"""
+import sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+coord, pid = sys.argv[1], int(sys.argv[2])
+
+import numpy as np
+from frizbee_tpu.config import Config
+from frizbee_tpu.corpus import pack_corpus
+from frizbee_tpu.engine import make_engine
+from frizbee_tpu.matcher import Matcher
+from frizbee_tpu.parallel import initialize_distributed, match_corpus_sharded
+
+mesh = initialize_distributed(
+    coordinator_address=coord, num_processes=2, process_id=pid
+)
+assert jax.process_count() == 2
+
+# each process packs the SAME corpus; the data feed sends only this
+# process's device rows (put_global_sharded ->
+# jax.make_array_from_process_local_data)
+hay = (
+    ["%d deadbeef" % i for i in range(7)]
+    + ["d-e-a-d beef %d" % i for i in range(9)]
+    + ["nothing here %d" % i for i in range(24)]
+    + ["Dead/Beef%d" % i for i in range(8)]
+)
+cfg = Config()
+corpus = pack_corpus(hay, unicode=False)
+engine = make_engine("deadbeef", cfg)
+index, score, exact, end_col = match_corpus_sharded(
+    corpus, engine, mesh, k=16
+)
+
+# ground truth from the host oracle (identical semantics, no device)
+host = Matcher("deadbeef", cfg, use_device=False)
+hi, hs, he, hec = host.match_arrays(hay)
+np.testing.assert_array_equal(index, hi[:16])
+np.testing.assert_array_equal(score, hs[:16])
+np.testing.assert_array_equal(np.asarray(exact, bool), he[:16])
+np.testing.assert_array_equal(end_col, hec[:16])
+print("MULTIHOST_E2E_OK", pid, len(index), flush=True)
+"""
+
+
+def _run_two_process(worker, timeout=240, devs_per_proc=2):
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devs_per_proc}"
+    )
     env.pop("JAX_PLATFORMS", None)
     coord = f"127.0.0.1:{_free_port()}"
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", WORKER, coord, str(pid)],
+            [sys.executable, "-c", worker, coord, str(pid)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
@@ -84,7 +131,7 @@ def test_two_process_distributed_smoke():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=180)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out.decode())
     except subprocess.TimeoutExpired:
         for p in procs:
@@ -95,4 +142,21 @@ def test_two_process_distributed_smoke():
         if "UNAVAILABLE" in joined or "DEADLINE" in joined:
             pytest.skip(f"distributed runtime unavailable: {joined[-300:]}")
         raise AssertionError(joined[-2000:])
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_distributed_smoke():
+    outs = _run_two_process(WORKER)
     assert all("MULTIHOST_OK" in o for o in outs), outs
+
+
+@pytest.mark.slow
+def test_two_process_match_corpus_sharded_e2e():
+    """End-to-end multi-controller serving: two jax.distributed processes
+    each feed their own devices' corpus rows
+    (jax.make_array_from_process_local_data via put_global_sharded), run
+    the sharded top-k, and both must reproduce the host oracle's result
+    exactly — the full documented multi-host data path, executed."""
+    outs = _run_two_process(WORKER_E2E)
+    assert all("MULTIHOST_E2E_OK" in o for o in outs), outs

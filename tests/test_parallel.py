@@ -146,10 +146,12 @@ def test_mesh_batch_topk_equals_single_device(corpus_small):
         _assert_topk_equal(got, want)
 
 
-def test_mesh_batch_topk_typos_and_fallback(corpus_small):
-    """Typo configs ride the sharded kernel path; multi-pattern and
-    literal queries fall back to the single-device path — results match
-    match_topk_batch either way."""
+def test_mesh_batch_topk_full_syntax(corpus_small):
+    """The sharded serving path covers the FULL query syntax on the mesh
+    (the general match body runs inside shard_map): typo budgets,
+    multi-pattern combine with negation veto, and literal modes — all
+    equal to the single-device serving path (reference parallel path
+    covers every pattern type, src/matcher/parallel.rs:18-89)."""
     import jax
 
     from frizbee_tpu.matcher import Matcher, match_topk_batch
@@ -161,12 +163,38 @@ def test_mesh_batch_topk_typos_and_fallback(corpus_small):
     cfg = Config(max_typos=1)
     queries = [
         Matcher("dead", cfg),
-        Matcher.from_query("dead !beef", cfg),   # multi-pattern: fallback
-        Matcher.from_query("'dead", cfg),        # literal: fallback
+        Matcher.from_query("dead !beef", cfg),   # negation veto
+        Matcher.from_query("'dead", cfg),        # literal substring
+        Matcher.from_query("^dead", cfg),        # literal prefix
+        Matcher.from_query("beef$", cfg),        # literal suffix
+        Matcher.from_query("dead beef", cfg),    # multi-pattern sum
+        Matcher("dead", Config(max_typos=2)),
+        Matcher("", cfg),                        # empty: host copy path
     ]
     want = match_topk_batch(queries, corpus, cfg, k=12)
     got = match_topk_batch_sharded(queries, corpus, make_mesh(4), cfg, k=12)
     _assert_topk_equal(got, want)
+
+
+def test_mesh_batch_topk_sort_strategies(corpus_small):
+    """Every sort strategy serves on the mesh and equals single-device."""
+    import jax
+
+    from frizbee_tpu.config import SortStrategy
+    from frizbee_tpu.matcher import match_topk_batch
+    from frizbee_tpu.parallel import make_mesh, match_topk_batch_sharded
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multiple devices")
+    corpus = pack_corpus(corpus_small, unicode=False)
+    mesh = make_mesh(4)
+    for strat in SortStrategy:
+        cfg = Config(sort=strat)
+        want = match_topk_batch(["dead", "beef"], corpus, cfg, k=10)
+        got = match_topk_batch_sharded(
+            ["dead", "beef"], corpus, mesh, cfg, k=10
+        )
+        _assert_topk_equal(got, want)
 
 
 def test_mesh_batch_topk_unicode_greedy():
