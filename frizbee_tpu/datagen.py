@@ -165,32 +165,73 @@ _SCRIPT_RANGES = {
 }
 
 
+# Per-script calibration to the reference's published dataset stats
+# (reference BENCHMARKS.md:67-104; the real sentence corpora are not
+# redistributable): (num_samples, median_units, needle_every,
+# partial_rate) chosen so match% / partial% / median byte length land on
+# the published values — verified by benchmarks/calibrate_datasets.py.
+#   arabic: 285,587 rows, match 7.93%, partial 59.5%, median 37 B
+#   korean: 281,471 rows, match 8.42%, partial 40.7%, median 36 B
+_SCRIPT_CALIBRATION = {
+    "arabic": dict(num_samples=285_587, median_units=20,
+                   needle_every=13, partial_rate=0.645),
+    "korean": dict(num_samples=281_471, median_units=13,
+                   needle_every=12, partial_rate=0.444),
+}
+
+
 def unicode_corpus(script: str = "arabic",
-                   num_samples: int = 280_000,
-                   median_units: int = 20,
-                   needle_every: int = 50,
+                   num_samples: int = None,
+                   median_units: int = None,
+                   needle_every: int = None,
                    needle: str = "",
+                   partial_rate: float = None,
                    seed: int = 42) -> List[str]:
-    """Synthetic unicode sentence corpus. Every ``needle_every``-th row has
-    the needle's codepoints embedded in order (so default-config matching
-    keeps a realistic survivor rate)."""
+    """Synthetic unicode sentence corpus calibrated to the reference's
+    published dataset statistics (see _SCRIPT_CALIBRATION). The needle's
+    codepoints are EXCLUDED from the random draw, so the match and
+    partial rates are exact knobs: every ``needle_every``-th row embeds
+    the full needle in order (a match); ``partial_rate`` of the others
+    get ONE needle codepoint (a partial: trips char-presence prefilters
+    without matching)."""
+    cal = _SCRIPT_CALIBRATION.get(script, {})
+    num_samples = num_samples or cal.get("num_samples", 280_000)
+    median_units = median_units or cal.get("median_units", 20)
+    needle_every = needle_every or cal.get("needle_every", 50)
+    if partial_rate is None:
+        partial_rate = cal.get("partial_rate", 0.0)
     rng = np.random.default_rng(seed)
-    lo_hi = _SCRIPT_RANGES[script]
-    lo, hi = lo_hi[0]
+    lo, hi = _SCRIPT_RANGES[script][0]
     lengths = np.maximum(
         np.abs(np.round(rng.normal(median_units, median_units // 4,
                                    num_samples))), 2
     ).astype(np.int64)
     out: List[str] = []
     needle_arr = np.array([ord(c) for c in needle], dtype=np.uint32)
+    needle_set = set(int(c) for c in needle_arr)
+    partial_mask = rng.random(num_samples) < partial_rate
     for i in range(num_samples):
         n = int(lengths[i])
         cps = rng.integers(lo, hi + 1, size=n, dtype=np.uint32)
+        if needle_set:
+            # redraw until no needle codepoint appears naturally (rates
+            # stay exact knobs; blocks are >=255 wide so this converges
+            # immediately)
+            bad = np.isin(cps, list(needle_set))
+            while bad.any():
+                cps[bad] = rng.integers(
+                    lo, hi + 1, size=int(bad.sum()), dtype=np.uint32
+                )
+                bad = np.isin(cps, list(needle_set))
         spaces = rng.random(n) < 0.15
         cps = np.where(spaces, np.uint32(0x20), cps)
         if needle and i % needle_every == 0 and n >= len(needle_arr):
             idx = np.sort(rng.permutation(n)[: len(needle_arr)])
             cps[idx] = needle_arr
+        elif needle and partial_mask[i]:
+            cps[rng.integers(0, n)] = needle_arr[
+                rng.integers(0, len(needle_arr))
+            ]
         out.append("".join(map(chr, cps)))
     return out
 
@@ -217,25 +258,37 @@ _FILE_EXTS = [".cc", ".h", ".mm", ".py", ".js", ".ts", ".html", ".css",
 
 def chromium_like_corpus(num_samples: int = 1_406_941,
                          seed: int = 42) -> List[str]:
-    """Path-shaped corpus replicating the reference's Chromium benchmark
-    profile (reference: benches/lib.rs:18-40, BENCHMARKS.md:50-65): 1.4M
-    '/'-delimited source paths, median length ~67 bytes, realistic length
-    spread, benched with needle "linux". The reference's actual file list
-    isn't redistributable; this generator reproduces the statistical
-    profile the benchmark exercises (segment-structured ASCII rows with a
-    long-tail length histogram and a naturally low match rate)."""
+    """Path-shaped corpus calibrated to the reference's Chromium
+    benchmark profile (reference: benches/lib.rs:18-40,
+    BENCHMARKS.md:50-58: 1,406,941 paths, median length 67,
+    match_percentage 0.08 on needle "linux"). The actual file list isn't
+    redistributable (the reference downloads it separately); this
+    generator matches the published statistics that drive the
+    benchmark's cost profile — measured at default params: median 65
+    bytes, 7.9-8.3% of rows matching "linux" (6.1% carry a literal
+    /linux/ segment, the rest match as cross-segment subsequences),
+    prefilter-dominated like the real list. Calibration is re-checkable
+    with benchmarks/calibrate_datasets.py."""
     rng = np.random.default_rng(seed)
-    n_seg = rng.integers(2, 7, num_samples)
-    segs = rng.choice(len(_PATH_SEGMENTS), size=int(n_seg.sum()))
-    stems = rng.choice(len(_FILE_STEMS), size=num_samples)
+    segs_vocab = [s for s in _PATH_SEGMENTS if s != "linux"]
+    n_seg = rng.integers(3, 9, num_samples)
+    segs = rng.choice(len(segs_vocab), size=int(n_seg.sum()))
+    s1 = rng.choice(len(_FILE_STEMS), size=num_samples)
+    s2 = rng.choice(len(_FILE_STEMS), size=num_samples)
     exts = rng.choice(len(_FILE_EXTS), size=num_samples)
+    inj = rng.random(num_samples) < 0.061
+    inj_at = rng.integers(0, 1 << 30, num_samples)
     out: List[str] = []
     pos = 0
     for i in range(num_samples):
         k = int(n_seg[i])
-        parts = [_PATH_SEGMENTS[s] for s in segs[pos:pos + k]]
+        parts = [segs_vocab[s] for s in segs[pos:pos + k]]
         pos += k
-        parts.append(_FILE_STEMS[stems[i]] + _FILE_EXTS[exts[i]])
+        if inj[i]:
+            parts.insert(int(inj_at[i]) % (len(parts) + 1), "linux")
+        parts.append(
+            _FILE_STEMS[s1[i]] + "_" + _FILE_STEMS[s2[i]] + _FILE_EXTS[exts[i]]
+        )
         out.append("/".join(parts))
     return out
 

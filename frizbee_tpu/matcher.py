@@ -266,9 +266,12 @@ class Matcher:
         end_col = (meta & np.uint32(0x3FFF)).astype(np.int64)
         return index, score, exact, end_col, greedy
 
-    def _fused_match_arrays(self, corpus: Corpus) -> tuple:
-        """One device call for the whole query; usually one fetch back.
-        See ops/batch.py for the fused program."""
+    def _fused_dispatch(self, corpus: Corpus):
+        """Launch the fused device program and start the fetch; returns
+        an opaque pending handle for ``_fused_collect``. Splitting
+        dispatch from collection lets callers keep several corpora in
+        flight so the host-link round trip overlaps device execution
+        (match_iter's chunk pipeline)."""
         from .ops.batch import fused_match_sorted
 
         strategy = self._config.sort
@@ -286,6 +289,14 @@ class Matcher:
             unicode=corpus.unicode,
             score_bound=self._score_bound(),
         )
+        try:
+            out.copy_to_host_async()
+        except AttributeError:
+            pass
+        return corpus, out
+
+    def _fused_collect(self, pending) -> tuple:
+        corpus, out = pending
         # One fetch covers the count + the first fetch_rows matches; a
         # second fetch only happens for very large result sets
         k = min(self.fetch_rows, len(corpus))
@@ -301,6 +312,11 @@ class Matcher:
         return self._host_fixups(
             corpus, index, score, exact, end_col, greedy
         )
+
+    def _fused_match_arrays(self, corpus: Corpus) -> tuple:
+        """One device call for the whole query; usually one fetch back.
+        See ops/batch.py for the fused program."""
+        return self._fused_collect(self._fused_dispatch(corpus))
 
     def _match_many_host(self, rows, xl=None) -> tuple:
         """Batched host equivalent of ``match_one`` over many haystacks:
@@ -632,7 +648,10 @@ class Matcher:
     # fixed per-call cost amortizes (the reference's iterator is ~10% off
     # its list path, src/matcher/mod.rs:272-273; here the same batched
     # engine serves both, so the gap is one chunk's worth of padding)
-    iter_chunk: int = 8192
+    # steady-state chunk for the raw-string iterator path: big enough
+    # that per-chunk fixed costs (pack dispatch + one link round trip)
+    # amortize; corpus size classes keep the program count small
+    iter_chunk: int = 65536
 
     def _iter_chunks(self, haystacks: Iterable[str]):
         """(base_index, chunk) blocks with geometrically growing sizes, so
@@ -650,18 +669,54 @@ class Matcher:
             base += len(chunk)
             size = min(size * 4, self.iter_chunk)
 
-    def match_iter(self, haystacks: Iterable[str]) -> Iterator[Match]:
+    def match_iter(
+        self, haystacks: Union[Iterable[str], Corpus]
+    ) -> Iterator[Match]:
         """Lazy matching in input order. Streams growing chunks through
         the batched engine (reference: src/matcher/iter.rs semantics —
-        unsorted, yields as it goes — at batch-engine throughput)."""
+        unsorted, yields as it goes — at batch-engine throughput).
+
+        A pre-packed resident ``Corpus`` runs as ONE device program
+        (laziness in packing is moot — it's already packed) and yields
+        lazily from the single fetched result set. Raw-string input
+        packs + uploads per chunk with up to two chunks in flight, so
+        the host-link round trip overlaps the next chunk's packing —
+        on remote-device links the string path is inherently bound by
+        shipping the corpus over the link."""
         if not self._use_device or not self._compiled:
-            for i, h in enumerate(haystacks):
+            rows = (
+                haystacks.haystacks
+                if isinstance(haystacks, Corpus)
+                else haystacks
+            )
+            for i, h in enumerate(rows):
                 m = self.match_one(h, i)
                 if m is not None:
                     yield m
             return
-        for base, chunk in self._iter_chunks(haystacks):
-            index, score, exact, end_col = self.match_arrays(chunk)
+        if isinstance(haystacks, Corpus):
+            index, score, exact, end_col = self.match_arrays(haystacks)
+            order = np.argsort(index, kind="stable")
+            for j in order:
+                yield Match(
+                    score=int(score[j]), index=int(index[j]),
+                    exact=bool(exact[j]), end_col=int(end_col[j]),
+                )
+            return
+
+        unicode = self._compiled[0].engine.unicode
+        fused = self._fused_supported()
+
+        def results(base_chunk):
+            base, chunk = base_chunk
+            if fused:
+                return base, self._fused_dispatch(self._pack(chunk, unicode))
+            return base, self.match_arrays(chunk)
+
+        def emit(base, res):
+            index, score, exact, end_col = (
+                self._fused_collect(res) if fused else res
+            )
             order = np.argsort(index, kind="stable")
             for j in order:
                 yield Match(
@@ -671,13 +726,44 @@ class Matcher:
                     end_col=int(end_col[j]),
                 )
 
-    def match_iter_indices(self, haystacks: Iterable[str]) -> Iterator[MatchIndices]:
+        from collections import deque
+
+        inflight = deque()
+        for bc in self._iter_chunks(haystacks):
+            inflight.append(results(bc))
+            if len(inflight) >= 2:
+                base, res = inflight.popleft()
+                yield from emit(base, res)
+        while inflight:
+            base, res = inflight.popleft()
+            yield from emit(base, res)
+
+    def match_iter_indices(
+        self, haystacks: Union[Iterable[str], Corpus]
+    ) -> Iterator[MatchIndices]:
         """Lazy matching with matched-byte indices, in input order. Match
         selection rides the chunked batch engine and the traceback reuses
-        the vectorized batched walk (reference: src/matcher/iter.rs)."""
+        the vectorized batched walk (reference: src/matcher/iter.rs).
+        A pre-packed ``Corpus`` selects matches in one device program."""
         if not self._use_device or not self._compiled:
-            for i, h in enumerate(haystacks):
+            rows = (
+                haystacks.haystacks
+                if isinstance(haystacks, Corpus)
+                else haystacks
+            )
+            for i, h in enumerate(rows):
                 m = self.match_one_indices(h, i)
+                if m is not None:
+                    yield m
+            return
+        if isinstance(haystacks, Corpus):
+            rows = haystacks.haystacks
+            index = sorted(int(i) for i in self.match_arrays(haystacks)[0])
+            batched = self._batched_indices(rows, index)
+            for i in index:
+                m = batched.get(int(i)) if batched else None
+                if m is None:
+                    m = self.match_one_indices(rows[int(i)], int(i))
                 if m is not None:
                     yield m
             return

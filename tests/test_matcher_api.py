@@ -206,6 +206,28 @@ def test_multi_pattern_match_iter_matches_match_list(use_device):
         assert from_iter == from_list, query
 
 
+def test_match_iter_corpus_and_pipelined_chunks(use_device):
+    """match_iter over a pre-packed Corpus (one device program) and over
+    raw strings long enough to keep two chunks in flight both reproduce
+    match_list's content in input order; match_iter_indices too."""
+    from frizbee_tpu.corpus import pack_corpus
+
+    haystacks = [
+        f"{i} deadbeef" if i % 3 == 0 else f"filler {i}" for i in range(150)
+    ]
+    matcher = Matcher("deadbeef", Config(), use_device=use_device)
+    matcher.iter_chunk = 64  # force several in-flight chunks
+    want = sorted(
+        matcher.match_list(haystacks), key=lambda m: m.index
+    )
+    assert list(matcher.match_iter(haystacks)) == want
+    corpus = pack_corpus(haystacks, unicode=False)
+    assert list(matcher.match_iter(corpus)) == want
+    wi = list(matcher.match_iter_indices(haystacks))
+    ci = list(matcher.match_iter_indices(corpus))
+    assert wi == ci and len(wi) == len(want)
+
+
 def test_multi_pattern_match_list_indices_matches_match_list(use_device):
     haystacks = ["foobar", "foo", "barfoo", "bar", "qux", "FooBar"]
     for query in ["foo !bar", "foo bar", "!foo", "foo fo"]:
