@@ -196,13 +196,16 @@ def bench_micro(rows):
 
         np.asarray(f(jnp.int32(0)))
         ts = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             np.asarray(f(jnp.int32(0)))
             ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+        # min rejects one-sided link jitter (the tunnel only adds delay)
+        return float(np.min(ts))
 
-    sort_s = (loop(10) - loop(2)) / 8
+    # the K spread must dwarf the ~26 ms RTT jitter: 480 extra sorts at
+    # ~0.1 ms each is ~50 ms of marginal device time
+    sort_s = max((loop(512) - loop(32)) / 480, 1e-9)
     rows.append({
         "config": "device_sort_100k", "haystacks": 100_000, "matches": 0,
         "latency_ms": round(sort_s * 1e3, 3),
