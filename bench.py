@@ -10,19 +10,23 @@ batch of distinct queries against one resident packed corpus, one device
 program, one result fetch per batch, with 3 batches in flight
 (`match_topk_batch_async`: exact total match count + the best k=2048 rows
 per query; the full sorted match list stays device-resident; pipelining
-overlaps the host-link round trip with device execution). That is the deployment shape for an accelerator: the
-host link here is a tunnel with ~26 ms RTT and ~30 MB/s, so single-query
-latency measures the link, not the engine (reported in extra anyway), and
-shipping every match row of a 1M-row corpus over it would measure the
-tunnel too.
+overlaps the host-link round trip with device execution). That is the
+deployment shape for an accelerator: the host link here is a tunnel with
+~26 ms RTT and ~30 MB/s, so single-query latency measures the link, not
+the engine (reported in extra anyway), and shipping every match row of a
+1M-row corpus over it would measure the tunnel too.
 
-Prints one JSON line; vs_baseline is against the reference's published
+Prints one JSON line PER COMPLETED STAGE (each line is complete and
+self-sufficient; the last line is the best available measurement — a
+driver that kills the process mid-run still gets every stage that
+finished). vs_baseline is against the reference's published
 single-thread rate on this dataset profile: 1.24 ms / 100k haystacks =
 80.6M haystacks/s (Ryzen 9950x3D, BENCHMARKS.md:122-124; the reference's
 cost is linear in corpus size — 63M hay/s on 1.4M-row Chromium).
 """
 
 import json
+import sys
 import time
 from collections import deque
 
@@ -51,14 +55,15 @@ def _queries(q):
 METRIC = "partial_match_1m_len64_topk_serving_haystacks_per_sec"
 
 # The tunneled device can drop mid-run, and jax.devices() HANGS (not
-# errors) while the relay is down — so the probe retries over a window
-# and the measurement runs under a deadline with staged partial results,
-# so a flaky tunnel yields the best measurement taken instead of nothing
-# (round-2 bench was lost to exactly this).
-PROBE_ATTEMPTS = 4
-PROBE_TIMEOUT_S = 150.0
-PROBE_RETRY_SLEEP_S = 30.0
-MEASURE_DEADLINE_S = 1800.0  # covers cold Mosaic compiles on a slow link
+# errors) while the relay is down — so the probe retries over a bounded
+# window, every stage prints its own JSON line the moment it completes
+# (round-2 bench was lost to a tunnel drop, round-3 to an external
+# SIGKILL that arrived before the old single-emit-at-the-end design
+# printed anything), and the whole measurement runs under a deadline.
+PROBE_ATTEMPTS = 2
+PROBE_TIMEOUT_S = 75.0
+PROBE_RETRY_SLEEP_S = 15.0
+MEASURE_DEADLINE_S = 420.0
 
 
 def _device_reachable(timeout_s: float = PROBE_TIMEOUT_S) -> bool:
@@ -88,7 +93,7 @@ def _emit(value, vs_baseline, extra=None, error=None):
         line["extra"] = extra
     if error:
         line["error"] = error
-    print(json.dumps(line))
+    print(json.dumps(line), flush=True)
 
 
 def main():
@@ -107,35 +112,24 @@ def main():
         ))
         return
 
-    partial = {"stage": "start"}
-    worker = threading.Thread(
-        target=_measure, args=(partial,), daemon=True
-    )
+    state = {"stage": "start"}
+    worker = threading.Thread(target=_measure, args=(state,), daemon=True)
     worker.start()
     worker.join(MEASURE_DEADLINE_S)
 
-    if "result" in partial:
-        print(json.dumps(partial["result"]))
-        return
-    # The pipelined headline didn't complete (tunnel drop or deadline):
-    # fall back to the blocking-loop rate if that stage finished.
-    reason = partial.get(
-        "error",
-        f"measurement incomplete after {MEASURE_DEADLINE_S:.0f}s "
-        f"(last stage: {partial.get('stage')})",
-    )
-    hps = partial.get("blocking_hps")
-    _emit(
-        round(hps) if hps else None,
-        round(hps / REF_HAYSTACKS_PER_SEC, 4) if hps else None,
-        extra={k: v for k, v in partial.items()
-               if k not in ("result", "error")},
-        error=f"partial result ({reason}); value is the blocking-loop "
-              "rate" if hps else reason,
-    )
+    if state.get("done"):
+        return  # final line already printed by the worker
+    # Deadline hit (or tunnel died mid-stage): if a stage already printed
+    # a line, that line stands as the result; otherwise say why.
+    if not state.get("emitted"):
+        _emit(None, None, error=state.get(
+            "error",
+            f"no stage completed within {MEASURE_DEADLINE_S:.0f}s "
+            f"(last stage: {state.get('stage')})",
+        ))
 
 
-def _measure(partial):
+def _measure(state):
   try:
 
     from frizbee_tpu.config import Config
@@ -147,45 +141,45 @@ def _measure(partial):
         match_topk_batch_async,
     )
 
-    partial["stage"] = "pack"
+    state["stage"] = "pack"
     haystacks = partial_match_corpus(median_length=MEDIAN_LEN, num_samples=N)
     corpus = pack_corpus(haystacks, unicode=False)
 
     queries = [Matcher.from_query(s, Config()) for s in _queries(Q)]
 
-    # Warmup: compile + device upload (single-query + batch traces)
-    partial["stage"] = "warmup"
-    matcher = Matcher("deadbeef", Config())
-    matcher.match_arrays(corpus)
+    # Warmup: compile + device upload. With the persistent XLA cache warm
+    # (~/.cache/frizbee_tpu_xla — program shapes are corpus-size-class
+    # quantized so any 1M-row corpus hits it) this is seconds, not minutes.
+    state["stage"] = "warmup"
     match_topk_batch(queries, corpus, Config(), k=TOP_K)
 
-    # Single-query latency (RTT-bound on this host link)
-    partial["stage"] = "latency"
-    lat = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = matcher.match_arrays(corpus)
-        lat.append(time.perf_counter() - t0)
-    latency = float(np.median(lat))
-    n_matches = int(len(out[0]))
-    partial["single_query_latency_seconds"] = latency
-
-    # Blocking round-trip serving (one batch in flight at a time)
-    partial["stage"] = "blocking"
+    # Blocking round-trip serving (one batch in flight at a time).
+    # Emits the first real measurement line — everything after this
+    # only improves on it.
+    state["stage"] = "blocking"
     times = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
         res = match_topk_batch(queries, corpus, Config(), k=TOP_K)
         times.append(time.perf_counter() - t0)
     blocking_dt = float(np.median(times))
-    partial["blocking_batch_seconds"] = blocking_dt
-    partial["blocking_hps"] = Q * N / blocking_dt
-    partial["stage"] = "pipelined"
+    blocking_hps = Q * N / blocking_dt
+    state["emitted"] = True
+    _emit(
+        round(blocking_hps),
+        round(blocking_hps / REF_HAYSTACKS_PER_SEC, 4),
+        extra={
+            "corpus_rows": N, "batch_queries": Q, "top_k": TOP_K,
+            "blocking_batch_seconds": blocking_dt,
+            "note": "blocking-loop rate (pipelined stage still running)",
+        },
+    )
 
     # Steady-state pipelined serving: 3 batches in flight so the host-link
     # round trip overlaps device execution (match_topk_batch_async — the
     # production pattern; the reference's number is likewise a hot-loop
     # throughput, not a cold round trip)
+    state["stage"] = "pipelined"
     DEPTH, RUNS = 3, 10
     futs = deque(
         match_topk_batch_async(queries, corpus, Config(), k=TOP_K)
@@ -206,13 +200,23 @@ def _measure(partial):
     assert res[0][0] > 0
     assert all(len(r[1]) == min(r[0], TOP_K) for r in res)
 
+    # Single-query latency (RTT-bound on this host link) — measured last
+    # so it can never cost the headline its deadline budget.
+    state["stage"] = "latency"
+    matcher = Matcher("deadbeef", Config())
+    lat = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = matcher.match_arrays(corpus)
+        lat.append(time.perf_counter() - t0)
+    latency = float(np.median(lat))
+    n_matches = int(len(out[0]))
+
     hps = Q * N / dt
-    partial["result"] = {
-        "metric": METRIC,
-        "value": round(hps),
-        "unit": "haystacks/s",
-        "vs_baseline": round(hps / REF_HAYSTACKS_PER_SEC, 4),
-        "extra": {
+    _emit(
+        round(hps),
+        round(hps / REF_HAYSTACKS_PER_SEC, 4),
+        extra={
             "corpus_rows": N,
             "batch_queries": Q,
             "top_k": TOP_K,
@@ -223,9 +227,13 @@ def _measure(partial):
             "single_query_matches": n_matches,
             "reference_haystacks_per_sec": REF_HAYSTACKS_PER_SEC,
         },
-    }
+    )
+    state["done"] = True
   except Exception as exc:  # noqa: BLE001 — any failure becomes a line
-    partial["error"] = f"{type(exc).__name__}: {exc}"
+    state["error"] = f"{type(exc).__name__}: {exc}"
+    if not state.get("emitted"):
+        _emit(None, None, error=state["error"])
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
