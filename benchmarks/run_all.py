@@ -204,16 +204,31 @@ def bench_micro(rows):
         return float(np.min(ts))
 
     # the K spread must dwarf the ~26 ms RTT jitter: 480 extra sorts at
-    # ~0.1 ms each is ~50 ms of marginal device time
-    sort_s = max((loop(512) - loop(32)) / 480, 1e-9)
-    rows.append({
-        "config": "device_sort_100k", "haystacks": 100_000, "matches": 0,
-        "latency_ms": round(sort_s * 1e3, 3),
-        "serving_ms_per_query": None,
-        "haystacks_per_sec_serving": round(100_000 / sort_s),
-        "reference_haystacks_per_sec": round(100_000 / 131.9e-6),
-        "vs_reference": round((131.9e-6) / sort_s, 3),
-    })
+    # ~0.1 ms each is ~50 ms of marginal device time. A non-positive
+    # differential means the measurement is jitter-dominated — retry once
+    # with a wider spread, then publish nulls rather than a clamped value.
+    sort_s = (loop(512) - loop(32)) / 480
+    if sort_s <= 0:
+        sort_s = (loop(2048) - loop(32)) / 2016
+    if sort_s > 0:
+        rows.append({
+            "config": "device_sort_100k", "haystacks": 100_000, "matches": 0,
+            "latency_ms": round(sort_s * 1e3, 3),
+            "serving_ms_per_query": None,
+            "haystacks_per_sec_serving": round(100_000 / sort_s),
+            "reference_haystacks_per_sec": round(100_000 / 131.9e-6),
+            "vs_reference": round((131.9e-6) / sort_s, 3),
+        })
+    else:
+        rows.append({
+            "config": "device_sort_100k", "haystacks": 100_000, "matches": 0,
+            "latency_ms": None, "serving_ms_per_query": None,
+            "haystacks_per_sec_serving": None,
+            "reference_haystacks_per_sec": round(100_000 / 131.9e-6),
+            "vs_reference": None,
+            "error": "non-positive K-differential (link jitter dominated "
+                     "the marginal device time); no valid measurement",
+        })
     print(json.dumps(rows[-1]), flush=True)
 
 
@@ -375,11 +390,12 @@ def main():
             "\nServing = steady-state pipelined top-k batches "
             "(match_topk_batch_async, depth 3, 16 queries/batch, k=2048); "
             "latency = one blocking single-query round trip on a ~26 ms "
-            "RTT host link. copy_path builds Python Match objects (the "
-            "reference's row is a memcpy). device_sort is an isolated-op "
-            "floor comparison (one ~1.6 ms device sort vs the reference's "
-            "131 us radix); in serving, sorts batch across the Q axis at "
-            "~0.2 ms/query amortized.\n"
+            "RTT host link. copy_path measures the array-backed lazy "
+            "MatchList return (per-element Match construction is deferred "
+            "to access; the reference's row is a memcpy). device_sort is "
+            "the marginal per-sort device time of the int64 single-operand "
+            "result sort (K-iteration differential) vs the reference's "
+            "131 us radix; in serving, sorts batch across the Q axis.\n"
         )
     print("wrote benchmarks/RESULTS.md", file=sys.stderr)
 

@@ -1,14 +1,15 @@
-"""Two-process jax.distributed smoke for parallel.initialize_distributed.
+"""Multi-process jax.distributed smoke for parallel.initialize_distributed.
 
-Verifies the multi-host scaffold actually stands up: two CPU processes
+Verifies the multi-host scaffold actually stands up: N CPU processes
 join one coordination service, see a global device mesh, and run a psum
-collective over it. The full sharded match pipeline on a multi-host mesh
-additionally needs per-process corpus loading
-(jax.make_array_from_process_local_data) — that composition is documented
-in parallel.py, not covered here.
+collective over it; the e2e variants additionally run the full sharded
+match pipeline with per-process corpus feeding
+(jax.make_array_from_process_local_data) and pin the result to the host
+oracle.
 
-Skips (rather than fails) when the environment can't run two coordinated
-processes (sandboxed CI, no free port).
+These run in the DEFAULT suite (each converges in ~10 s); skips (rather
+than fails) when the environment can't run coordinated processes
+(sandboxed CI, no free port).
 """
 
 import os
@@ -23,16 +24,16 @@ import sys
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-coord, pid = sys.argv[1], int(sys.argv[2])
+coord, pid, nproc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 
 from frizbee_tpu.parallel import initialize_distributed
 
 mesh = initialize_distributed(
-    coordinator_address=coord, num_processes=2, process_id=pid
+    coordinator_address=coord, num_processes=nproc, process_id=pid
 )
-assert jax.process_count() == 2, jax.process_count()
+assert jax.process_count() == nproc, jax.process_count()
 n = len(jax.devices())
-assert n >= 2, n
+assert n >= nproc, n
 
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -72,7 +73,7 @@ import sys
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-coord, pid = sys.argv[1], int(sys.argv[2])
+coord, pid, nproc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 
 import numpy as np
 from frizbee_tpu.config import Config
@@ -82,9 +83,9 @@ from frizbee_tpu.matcher import Matcher
 from frizbee_tpu.parallel import initialize_distributed, match_corpus_sharded
 
 mesh = initialize_distributed(
-    coordinator_address=coord, num_processes=2, process_id=pid
+    coordinator_address=coord, num_processes=nproc, process_id=pid
 )
-assert jax.process_count() == 2
+assert jax.process_count() == nproc
 
 # each process packs the SAME corpus; the data feed sends only this
 # process's device rows (put_global_sharded ->
@@ -113,7 +114,7 @@ print("MULTIHOST_E2E_OK", pid, len(index), flush=True)
 """
 
 
-def _run_two_process(worker, timeout=240, devs_per_proc=2):
+def _run_multi_process(worker, n_procs=2, timeout=240, devs_per_proc=2):
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={devs_per_proc}"
@@ -122,11 +123,11 @@ def _run_two_process(worker, timeout=240, devs_per_proc=2):
     coord = f"127.0.0.1:{_free_port()}"
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", worker, coord, str(pid)],
+            [sys.executable, "-c", worker, coord, str(pid), str(n_procs)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
-        for pid in (0, 1)
+        for pid in range(n_procs)
     ]
     outs = []
     try:
@@ -145,18 +146,24 @@ def _run_two_process(worker, timeout=240, devs_per_proc=2):
     return outs
 
 
-@pytest.mark.slow
 def test_two_process_distributed_smoke():
-    outs = _run_two_process(WORKER)
+    outs = _run_multi_process(WORKER)
     assert all("MULTIHOST_OK" in o for o in outs), outs
 
 
-@pytest.mark.slow
 def test_two_process_match_corpus_sharded_e2e():
     """End-to-end multi-controller serving: two jax.distributed processes
     each feed their own devices' corpus rows
     (jax.make_array_from_process_local_data via put_global_sharded), run
     the sharded top-k, and both must reproduce the host oracle's result
     exactly — the full documented multi-host data path, executed."""
-    outs = _run_two_process(WORKER_E2E)
+    outs = _run_multi_process(WORKER_E2E)
+    assert all("MULTIHOST_E2E_OK" in o for o in outs), outs
+
+
+def test_four_process_match_corpus_sharded_e2e():
+    """Same contract at 4 processes x 2 devices = an 8-device global mesh
+    — the corpus (48 rows) spreads 6 rows/device and every controller
+    must still reproduce the host oracle exactly."""
+    outs = _run_multi_process(WORKER_E2E, n_procs=4)
     assert all("MULTIHOST_E2E_OK" in o for o in outs), outs
