@@ -190,12 +190,18 @@ class PackedBucket:
 
     def device_arrays_colstream(self):
         """Transposed (column-stream) blocks for ops/colstream: (cpT
-        (nG*W, SUBL, 128) int32, nuT (nG*SUBL, 128) int32). Row groups
-        of SUBL*128 pack unit-major: group g's unit column j lives at
-        cpT[g*W + j] with row g*GR + s*128 + l at [s, l] — the layout
-        the in-place serving flow streams when every row runs the DP
-        (lanes = haystacks; ~5-10x the row-major kernel there, see
-        benchmarks/probe_colstream_tpu.py). Padding rows carry 0 units."""
+        (nG*W, SUBL, 128) int32, nuT (nG*SUBL, 128) int32, idxT (B,)
+        int32). Row groups of SUBL*128 pack unit-major: group g's unit
+        column j lives at cpT[g*W + j] with row g*GR + s*128 + l at
+        [s, l] — the layout the in-place serving flow streams when every
+        row runs the DP (lanes = haystacks; ~5-10x the row-major kernel
+        there, see benchmarks/probe_colstream_tpu.py).
+
+        Rows are LENGTH-SORTED before blocking so each group is
+        length-homogeneous and the kernel's per-block dynamic column
+        bound (max units in the block) cuts loop trips to ~the actual
+        row lengths; idxT maps colstream slot -> corpus index (serving
+        reads result columns through it). Padding rows carry 0 units."""
         from .ops import colstream as _cs
 
         key = getattr(self, "_device_colstream_key", None)
@@ -210,12 +216,15 @@ class PackedBucket:
             else self.cp.astype(np.int32)
         )
         b, w = cp32.shape
+        nu = self.n_units.astype(np.int32)
+        order = np.argsort(nu, kind="stable")
+        cp32 = cp32[order]
+        nup = nu[order]
+        idxt = self.indices.astype(np.int32)[order]
         pad = (-b) % gr
         if pad:
             cp32 = np.pad(cp32, ((0, pad), (0, 0)))
-        nup = np.pad(
-            self.n_units.astype(np.int32), (0, pad)
-        ) if pad else self.n_units.astype(np.int32)
+            nup = np.pad(nup, (0, pad))
         ng = cp32.shape[0] // gr
         cpt = np.ascontiguousarray(
             cp32.reshape(ng, _cs.SUBL, 128, w).transpose(0, 3, 1, 2)
@@ -223,6 +232,7 @@ class PackedBucket:
         self._device_colstream = (
             jnp.asarray(cpt),
             jnp.asarray(nup.reshape(ng * _cs.SUBL, 128)),
+            jnp.asarray(idxt),
         )
         self._device_colstream_key = _cs.SUBL
         return self._device_colstream

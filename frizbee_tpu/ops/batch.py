@@ -330,7 +330,7 @@ def fused_match_sorted_batch(
     score_bound=None,
     fetch_rows: int = 6144,
     bucket_statics=None,  # per bucket (ident_base, n_real) for the fast path
-    buckets_T=None,  # per bucket (cpT, nuT) colstream blocks, or None
+    buckets_T=None,  # per bucket (cpT, nuT, idxT) colstream blocks, or None
 ):
     """Pipelined serving: match Q shape-uniform queries against one resident
     corpus in a single device program, one (Q, 1+fetch_rows, 2) fetch.
@@ -381,7 +381,7 @@ def _fused_match_batch_fast(
     score_bound: int,
     fetch_rows: int,
     bucket_statics=None,  # per bucket (ident_base, n_real); base -1 = no
-    buckets_T=None,  # per bucket (cpT, nuT) colstream blocks, or None
+    buckets_T=None,  # per bucket (cpT, nuT, idxT) colstream blocks, or None
 ):
     """Q-batched single-pattern serving: the hot path.
 
@@ -575,7 +575,7 @@ def _fused_match_batch_fast(
         )
         return cpT, nu_k.reshape(ng * SUBL, 128)
 
-    def in_place_flow(perms, survivors):
+    def in_place_flow(survivors):
         total = sum(b[0].shape[0] for b in buckets)
         interpret = cs_interpret
 
@@ -586,13 +586,15 @@ def _fused_match_batch_fast(
                 cp, nu, idx, _m4, _bits8 = b
                 B, W = cp.shape
                 if use_colstream:
-                    cpT, nuT = buckets_T[bi]
+                    # corpus colstream blocks are length-sorted; idxT maps
+                    # colstream slot -> corpus index
+                    cpT, nuT, idxT = buckets_T[bi]
                     m, s, e, ec, g = run_colstream(
                         cpT, nuT, needle_q, B, W
                     )
                     key, cnt = keys_from_cols(
                         m[:B] > 0, s[:B], e[:B] > 0, ec[:B], g[:B] > 0,
-                        idx,
+                        idxT,
                     )
                 else:
                     out8 = run_kernel(cp, nu, needle_q, B, W)
@@ -606,7 +608,42 @@ def _fused_match_batch_fast(
         )
         return finalize(keys, counts, presorted=sort_in_body(total))
 
-    def compacted_flow(div, perms, survivors):
+    def survivor_perms():
+        # P1b: one batched packed-key sort per bucket -> survivor perms.
+        # Called INSIDE each compacted tier branch so the in-place branch
+        # never pays for sorts it would discard (the (Q, B) sorts cost
+        # ~1.7 ms/query/bucket at 786k rows — 60 ms/batch of pure waste
+        # on high-survivor corpora that fall through to in-place).
+        perms = []
+        for bi, b in enumerate(buckets):
+            cp, nu, _idx, _mask4, _bits8 = b
+            B, W = cp.shape
+            bbits = max((B - 1).bit_length(), 1)
+            # the packed survivor key is [reject | n_units | row]: row bits
+            # + unit-count bits + the reject flag must fit int32. Holds for
+            # every bucket built by pack_corpus (corpus.max_bucket_rows
+            # caps B so bbits + wbits <= 30); a hand-built PackedBucket
+            # violating it would silently mis-sort survivors.
+            assert bbits + W.bit_length() + 1 <= 31, (
+                f"bucket too large for the packed survivor key: "
+                f"{B} rows x width {W} (see corpus.max_bucket_rows)"
+            )
+            iota = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
+            keyb = (nu[:, 0] << bbits) | iota  # query-independent base
+            key = jnp.where(
+                s1_cols[bi], keyb[:, None],
+                keyb[:, None] | (1 << (bbits + W.bit_length())),
+            )
+            # keys embed the row iota -> already a total order; an
+            # unstable sort is ~2x cheaper on this backend
+            perms.append(
+                jax.lax.sort(key.T, dimension=1, is_stable=False)
+            )  # (Q, B)
+        return tuple(perms)
+
+    def compacted_flow(div, survivors):
+        perms = survivor_perms()
+
         # perms: per bucket (Q, B_b) packed keys; survivors: (Q, n_buckets)
         def body(carry, xs):
             needle_q, perm_bs, surv = xs
@@ -655,7 +692,7 @@ def _fused_match_batch_fast(
         return finalize(keys, counts, presorted=sort_in_body(total))
 
     if not use_stage1:
-        return in_place_flow(None, None)
+        return in_place_flow(None)
 
     # P1a: MXU stage-1 hits + survivor counts (always runs; cheap)
     need, tot = needle_need_matrix(needles_q)
@@ -682,37 +719,12 @@ def _fused_match_batch_fast(
         return jnp.concatenate([header, zeros], axis=1)
 
     def full_path(survivors):
-        # P1b: one batched packed-key sort per bucket -> survivor perms
-        perms = []
-        for bi, b in enumerate(buckets):
-            cp, nu, _idx, _mask4, _bits8 = b
-            B, W = cp.shape
-            bbits = max((B - 1).bit_length(), 1)
-            # the packed survivor key is [reject | n_units | row]: row bits
-            # + unit-count bits + the reject flag must fit int32. Holds for
-            # every bucket built by pack_corpus (corpus.max_bucket_rows
-            # caps B so bbits + wbits <= 30); a hand-built PackedBucket
-            # violating it would silently mis-sort survivors.
-            assert bbits + W.bit_length() + 1 <= 31, (
-                f"bucket too large for the packed survivor key: "
-                f"{B} rows x width {W} (see corpus.max_bucket_rows)"
-            )
-            iota = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
-            keyb = (nu[:, 0] << bbits) | iota  # query-independent base
-            key = jnp.where(
-                s1_cols[bi], keyb[:, None],
-                keyb[:, None] | (1 << (bbits + W.bit_length())),
-            )
-            # keys embed the row iota -> already a total order; an
-            # unstable sort is ~2x cheaper on this backend
-            perms.append(
-                jax.lax.sort(key.T, dimension=1, is_stable=False)
-            )  # (Q, B)
-
         # Tiered capacity switch: the row gather costs ~21 ns/row whether
         # or not a row survived, so low-survivor batches (stricter
         # needles, sparse-match corpora) take a 4x smaller gather tier; a
-        # full miss falls back to the in-place flow (no compaction)
+        # full miss falls back to the in-place flow (no compaction). The
+        # P1b survivor sorts live inside each compacted branch
+        # (survivor_perms), so only the taken tier pays for them.
         def fits(div):
             return jnp.all(
                 survivors
@@ -724,9 +736,8 @@ def _fused_match_batch_fast(
             )
 
         def tier(div, nxt):
-            return lambda p, s: jax.lax.cond(
-                fits(div), functools.partial(compacted_flow, div), nxt,
-                p, s,
+            return lambda s: jax.lax.cond(
+                fits(div), functools.partial(compacted_flow, div), nxt, s,
             )
 
         # 1/16 -> 1/8 -> 1/4 -> in-place: high-survivor workloads (large
@@ -735,7 +746,7 @@ def _fused_match_batch_fast(
         chain = in_place_flow
         for div in (4, 8, 16):
             chain = tier(div, chain)
-        return chain(tuple(perms), survivors)
+        return chain(survivors)
 
     return jax.lax.cond(
         jnp.sum(survivors) == 0, empty_flow, full_path, survivors

@@ -124,6 +124,13 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
     shape = nu.shape
     z = jnp.zeros(shape, jnp.int32)
 
+    # Dynamic column bound: no row in this block has units past the block
+    # max, so every fori_loop runs jmaxu trips instead of W. Pays off
+    # when blocks are length-homogeneous — corpus colstream blocks are
+    # built from length-sorted rows (corpus.device_arrays_colstream) and
+    # compacted survivors arrive length-sorted from the P1b survivor key.
+    jmaxu = jnp.minimum(jnp.max(nu), W)
+
     def orig_k(k):
         return scal_ref[2 + k]
 
@@ -204,7 +211,7 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
                 return (np2, wtrack)
 
             init = (z, z, z, z) if unicode else (z, z)
-            out = jax.lax.fori_loop(0, W, pf_body, init)
+            out = jax.lax.fori_loop(0, jmaxu, pf_body, init)
             np_, wtrack = out[0], out[1]
             nb = out[3] if unicode else jnp.minimum(nu, W)
             matched = np_ >= n
@@ -257,7 +264,7 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
 
             g0 = tuple(jnp.full(shape, t, jnp.int32) for t in range(T + 1))
             init = (g0, z, z, z) if unicode else (g0, z)
-            out = jax.lax.fori_loop(0, W, pf_body, init)
+            out = jax.lax.fori_loop(0, jmaxu, pf_body, init)
             g, wtrack = out[0], out[1]
             nb = out[3] if unicode else jnp.minimum(nu, W)
             matched = g[T] >= n
@@ -269,7 +276,7 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
             return nb + blen
 
         if unicode:
-            nb = jax.lax.fori_loop(0, W, nb_body, z)
+            nb = jax.lax.fori_loop(0, jmaxu, nb_body, z)
         else:
             nb = jnp.minimum(nu, W)
         matched = jnp.ones(shape, jnp.bool_)
@@ -282,34 +289,66 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
     include_exact = (wstart == 0) & (wend == nb)
     include_prefix = wstart == 0
 
+    # Matched-hull bound (ASCII, where byte offsets == unit columns): a
+    # row's DP columns past its window end can't contribute, and rows the
+    # prefilter rejected contribute nothing — so the SW loop only runs to
+    # the furthest window end among MATCHED rows. Unmatched rows' score/
+    # exact/end_col become undefined and are masked to 0 below (the
+    # serving flow and every consumer already read them only under
+    # ``matched``). Unicode window ends are byte offsets (columns don't
+    # map statically), so it keeps the jmaxu bound.
+    if not unicode:
+        sw_bound = jnp.minimum(
+            jnp.max(jnp.where(matched, wend, 0)), jmaxu
+        )
+    else:
+        sw_bound = jmaxu
+
+    def delim(b):
+        letter = (
+            ((b >= 0x41) & (b <= 0x5A)) | ((b >= 0x61) & (b <= 0x7A))
+        )
+        digit = (b >= 0x30) & (b <= 0x39)
+        return (b >= 0) & (b <= 127) & ~letter & ~digit
+
     def sw_body(j, c):
         # flag carries ride as int32 lanes (no i1 block args in Mosaic);
         # the previous column's per-k match flags pack into ONE bitmask
         # carry (mm_bits) instead of n gap-adjusted tiles — the TPU
-        # backend's register allocator chokes past ~2n live loop carries
-        (h, mm_bits, boff, prev_last, seen_first, best, end_b, neq) = c
+        # backend's register allocator chokes past ~2n live loop carries.
+        # The previous unit's bonus context (was-lowercase / was-delim of
+        # its last byte) is carried as one packed int32 (bit0 = lower,
+        # bit1 = delim) instead of recomputing delim()/case from a
+        # carried prev_last byte — ~9 fewer element-ops per column.
+        (h, mm_bits, boff, pctx, seen_first, best, end_b, neq) = c
         hay, valid, first, last, blen = _column(cpT_ref, j, nu, unicode)
         active = valid & (boff >= wstart) & (boff + blen <= wend)
         is_first = active & (seen_first == 0)
         seen_first = seen_first | active.astype(jnp.int32)
 
-        pb = jnp.where(valid, prev_last, -1)
         is_upper = (first >= 0x41) & (first <= 0x5A)
-        prev_lower = (pb >= 0x61) & (pb <= 0x7A)
-
-        def delim(b):
-            letter = (
-                ((b >= 0x41) & (b <= 0x5A)) | ((b >= 0x61) & (b <= 0x7A))
-            )
-            digit = (b >= 0x30) & (b <= 0x39)
-            return (b >= 0) & (b <= 127) & ~letter & ~digit
+        prev_lower = (pctx & 1) > 0
+        prev_delim = (pctx & 2) > 0
 
         cap_mask = is_upper & prev_lower & ~is_first
-        delim_mask = delim(pb) & ~delim(first) & ~is_first
+        delim_first = delim(first)
+        delim_mask = prev_delim & ~delim_first & ~is_first
         bonus = (
             jnp.where(cap_mask, cap_b, 0)
             + jnp.where(delim_mask, delim_b, 0)
             + jnp.where(is_first & include_prefix, prefix_b, 0)
+        )
+        if unicode:
+            delim_last = delim(last)
+            lower_last = (last >= 0x61) & (last <= 0x7A)
+        else:
+            delim_last = delim_first
+            lower_last = (first >= 0x61) & (first <= 0x7A)
+        pctx_new = jnp.where(
+            valid,
+            lower_last.astype(jnp.int32)
+            | (delim_last.astype(jnp.int32) << 1),
+            0,
         )
 
         diag_in = z          # H[k-1] at column j-1 (0 for k == 0)
@@ -320,28 +359,39 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
         for k in range(n):
             occ = active & ((hay == orig_k(k)) | (hay == flip_k(k)))
             exactc = active & (hay == orig_k(k))
-            diag = jnp.where(
-                occ,
-                diag_in + match_score + bonus
-                + jnp.where(exactc, case_b, 0),
-                jnp.maximum(diag_in - mismatch, 0),
-            )
-            up = jnp.maximum(
-                up_src - gap_ext - jnp.where(mm_prev, gop_extra, 0),
-                0,
-            )
             # left gap: H[k][j-1] - (gap_ext + gop_extra*match[k][j-1]),
             # the previous column's match flag unpacked from mm_bits
-            left = (
-                h[k] - gap_ext
-                - jnp.where((mm_bits >> k) & 1 > 0, gop_extra, 0)
-            )
-            cur = jnp.maximum(jnp.maximum(diag, up), left)
+            left = h[k] - gap_ext
+            if gop_extra:
+                left = left - jnp.where(
+                    (mm_bits >> k) & 1 > 0, gop_extra, 0
+                )
+            if k == 0:
+                # H[-1] row is all zeros: diag simplifies, up vanishes
+                diag = jnp.where(
+                    occ,
+                    match_score + bonus + jnp.where(exactc, case_b, 0),
+                    0,
+                )
+                cur = jnp.maximum(diag, left)
+            else:
+                diag = jnp.where(
+                    occ,
+                    diag_in + match_score + bonus
+                    + jnp.where(exactc, case_b, 0),
+                    jnp.maximum(diag_in - mismatch, 0),
+                )
+                up = up_src - gap_ext
+                if gop_extra:
+                    up = up - jnp.where(mm_prev, gop_extra, 0)
+                up = jnp.maximum(up, 0)
+                cur = jnp.maximum(jnp.maximum(diag, up), left)
             diag_in = h[k]
             up_src = cur
             mm_prev = occ
             h_new.append(cur)
-            mm_new = mm_new | (occ.astype(jnp.int32) << k)
+            if gop_extra:
+                mm_new = mm_new | (occ.astype(jnp.int32) << k)
             if k == n - 1:
                 masked = jnp.where(active, cur, 0)
                 upd = masked > best
@@ -354,14 +404,13 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
         nv_j = scal_ref[2 + jnp.minimum(j, 63)]
         gate = jnp.where(j < n, 1, 0)  # scalar int32
         neq = neq | ((hay != nv_j).astype(jnp.int32) & gate)
-        return (tuple(h_new), mm_new, boff + blen, last,
+        return (tuple(h_new), mm_new, boff + blen, pctx_new,
                 seen_first, best, end_b, neq)
 
     h0 = tuple(z for _ in range(n))
-    init = (h0, z, z, jnp.full(shape, -1, jnp.int32),
-            z, z, z, z)
-    (_h, _mm, _bo, _pl, _sf, best, end_b, neq) = jax.lax.fori_loop(
-        0, W, sw_body, init
+    init = (h0, z, z, z, z, z, z, z)
+    (_h, _mm, _bo, _pc, _sf, best, end_b, neq) = jax.lax.fori_loop(
+        0, sw_bound, sw_body, init
     )
 
     score = jnp.maximum(best, 0)
@@ -370,6 +419,11 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
     score = jnp.where(exact, jnp.minimum(score + exact_b, 0xFFFF), score)
     if auto:
         matched = jnp.ones(shape, jnp.bool_)
+    # the hull-bounded loop leaves unmatched rows' outputs undefined;
+    # pin them to 0 so the contract is deterministic
+    score = jnp.where(matched, score, 0)
+    exact = exact & matched
+    end_col = jnp.where(matched, end_col, 0)
     greedy = matched & ((wend - wstart) > MAX_HAYSTACK_LEN)
     return (
         matched.astype(jnp.int32),
