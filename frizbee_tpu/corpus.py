@@ -191,18 +191,29 @@ class PackedBucket:
     def device_arrays_colstream(self):
         """Transposed (column-stream) blocks for ops/colstream: (cpT
         (nG*W, SUBL, 128) int32, nuT (nG*SUBL, 128) int32, idxT (B,)
-        int32). Row groups of SUBL*128 pack unit-major: group g's unit
-        column j lives at cpT[g*W + j] with row g*GR + s*128 + l at
-        [s, l] — the layout the in-place serving flow streams when every
-        row runs the DP (lanes = haystacks; ~5-10x the row-major kernel
-        there, see benchmarks/probe_colstream_tpu.py).
+        int32, blk_bits (nG, PLANES*128) int8). Row groups of SUBL*128
+        pack unit-major: group g's unit column j lives at cpT[g*W + j]
+        with row g*GR + s*128 + l at [s, l] — the layout the in-place
+        serving flow streams when every row runs the DP (lanes =
+        haystacks; ~5-10x the row-major kernel there, see
+        benchmarks/probe_colstream_tpu.py).
 
-        Rows are LENGTH-SORTED before blocking so each group is
-        length-homogeneous and the kernel's per-block dynamic column
-        bound (max units in the block) cuts loop trips to ~the actual
-        row lengths; idxT maps colstream slot -> corpus index (serving
-        reads result columns through it). Padding rows carry 0 units."""
+        Rows are CONTENT-CLUSTERED before blocking: a lexicographic sort
+        on the ~16 most balanced fold-presence bits (then unit count)
+        groups rows with similar alphabets, so (a) each SUBL*128 group's
+        block-OR presence planes (``blk_bits``, the capped-count layout
+        of ops/presence) reject WHOLE groups for most queries — the
+        serving flow feeds per-group alive flags to the kernel, which
+        skips dead groups outright (measured: ~73% of chromium-profile
+        groups skip for path-shaped needles) — and (b) the kernel's
+        per-group dynamic column bound tracks actual row lengths. idxT
+        maps colstream slot -> corpus index. Padding rows carry 0 units
+        and 0 presence. Soundness: group-max capped counts >= any member
+        row's counts, so a group failing ``hits >= tot - typos`` cannot
+        contain a stage-1 survivor (presence is itself a sound superset
+        of the positional prefilter)."""
         from .ops import colstream as _cs
+        from .ops.presence import PLANES
 
         key = getattr(self, "_device_colstream_key", None)
         if key == _cs.SUBL:
@@ -217,22 +228,55 @@ class PackedBucket:
         )
         b, w = cp32.shape
         nu = self.n_units.astype(np.int32)
-        order = np.argsort(nu, kind="stable")
+
+        # per-row capped fold-bit counts (sentinel bin 128 swallows the
+        # padding columns; same bincount trick as the XL presence path)
+        upper = (cp32 >= 0x41) & (cp32 <= 0x5A)
+        fold = np.where(upper, cp32 + 0x20, cp32) & 127
+        fold = np.where(
+            np.arange(w, dtype=np.int32)[None, :] < nu[:, None], fold, 128
+        )
+        row_of = np.repeat(np.arange(b, dtype=np.int64), w)
+        counts = np.bincount(
+            row_of * 129 + fold.ravel(), minlength=b * 129
+        ).reshape(b, 129)[:, :128]
+        counts = np.minimum(counts, PLANES).astype(np.uint8)
+
+        # content-clustered order: most-balanced presence bits first,
+        # unit count as the innermost key
+        masks = counts > 0
+        freq = masks.mean(axis=0) if b else np.zeros(128)
+        disc = np.argsort(np.abs(freq - 0.5), kind="stable")
+        order = np.lexsort(
+            [nu] + [masks[:, disc[c]] for c in range(16)][::-1]
+        )
+
         cp32 = cp32[order]
         nup = nu[order]
         idxt = self.indices.astype(np.int32)[order]
+        counts = counts[order]
         pad = (-b) % gr
         if pad:
             cp32 = np.pad(cp32, ((0, pad), (0, 0)))
             nup = np.pad(nup, (0, pad))
+            counts = np.pad(counts, ((0, pad), (0, 0)))
         ng = cp32.shape[0] // gr
         cpt = np.ascontiguousarray(
             cp32.reshape(ng, _cs.SUBL, 128, w).transpose(0, 3, 1, 2)
         ).reshape(ng * w, _cs.SUBL, 128)
+        if self.cp.dtype == np.int8:
+            # byte units ride HBM as int8 (the kernel upcasts per column
+            # in VMEM) — 4x less kernel read traffic than int32
+            cpt = cpt.astype(np.int8)
+        blk_counts = counts.reshape(ng, gr, 128).max(axis=1)
+        blk_bits = np.concatenate(
+            [(blk_counts > k) for k in range(PLANES)], axis=1
+        ).astype(np.int8)
         self._device_colstream = (
             jnp.asarray(cpt),
             jnp.asarray(nup.reshape(ng * _cs.SUBL, 128)),
             jnp.asarray(idxt),
+            jnp.asarray(blk_bits),
         )
         self._device_colstream_key = _cs.SUBL
         return self._device_colstream

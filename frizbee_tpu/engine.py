@@ -502,6 +502,100 @@ class LiteralEngine:
             score=m.score, index=index, exact=m.exact, indices=indices
         )
 
+    def _unit_pairs(self):
+        """Per-unit (orig, flip) byte strings (cached) — the oracle's
+        _needle_variants, shared with the native batch."""
+        if getattr(self, "_pairs", None) is None:
+            from .oracle.literal import _needle_variants
+
+            self._pairs = _needle_variants(
+                self.needle, self.unicode, self.case_sensitive
+            )
+        return self._pairs
+
+    def _decode_native(self, R, res, lens):
+        matched, score, pos = res
+        nb = len(self.needle_bytes)
+        exact = matched & (pos == 0) & (lens == nb)
+        end_col = np.minimum(
+            np.maximum(pos.astype(np.int64) + nb - 1, 0), U16_MAX
+        )
+        return (
+            matched, score.astype(np.int64), exact,
+            np.where(matched, end_col, 0),
+        )
+
+    def match_many(self, haystacks) -> tuple:
+        """Batched host literal matcher: (matched, score, exact, end_col)
+        arrays over a list of rows. The native OpenMP batch
+        (native/packer.cpp host_literal_batch) serves byte AND codepoint
+        needles (literal units are byte sequences either way); native-
+        less hosts fall back to the per-row oracle, which is also the
+        differential twin the native path is test-pinned to. Kills the
+        per-row Python cliff for unit-mode-mismatched queries and XL
+        rows (reference: src/literal/algo.rs:262-313)."""
+        from . import native
+        from .ops.fuzzy import SCORING_FIELDS
+
+        R = len(haystacks)
+        if self.units.orig and R:
+            data = [h.encode("utf-8") for h in haystacks]
+            starts = np.zeros(R + 1, np.int64)
+            np.cumsum([len(d) for d in data], out=starts[1:])
+            res = native.host_literal_batch(
+                b"".join(data), starts, self._unit_pairs(),
+                self.config.matching.value,
+                np.array(
+                    [getattr(self.config.scoring, f)
+                     for f in SCORING_FIELDS], np.int32,
+                ),
+                len(self.needle_bytes),
+            )
+            if res is not None:
+                return self._decode_native(
+                    R, res, np.diff(starts).astype(np.int64)
+                )
+        matched = np.zeros(R, bool)
+        score = np.zeros(R, np.int64)
+        exact = np.zeros(R, bool)
+        end_col = np.zeros(R, np.int64)
+        for r, h in enumerate(haystacks):
+            m = self.match_one(h, r)
+            if m is not None:
+                matched[r] = True
+                score[r], exact[r], end_col[r] = m.score, m.exact, m.end_col
+        return matched, score, exact, end_col
+
+    def match_xl_rows(self, corpus: Corpus, positions) -> Optional[tuple]:
+        """Native literal batch over ``corpus.xl_blob()`` rows at
+        ``positions`` (indices into ``corpus.xl_indices`` order): literal
+        units are byte sequences, so one UTF-8 blob serves byte and
+        codepoint needles alike. Returns None when the native library is
+        unavailable — callers fall back to ``match_many`` on
+        materialized strings."""
+        from . import native
+        from .ops.fuzzy import SCORING_FIELDS
+
+        if not self.units.orig:
+            return None
+        blob = corpus.xl_blob()
+        rows = np.asarray(positions, np.int64)
+        res = native.host_literal_batch(
+            blob["joined"], blob["bstarts"], self._unit_pairs(),
+            self.config.matching.value,
+            np.array(
+                [getattr(self.config.scoring, f)
+                 for f in SCORING_FIELDS], np.int32,
+            ),
+            len(self.needle_bytes),
+            rows=rows,
+        )
+        if res is None:
+            return None
+        bstarts = np.asarray(blob["bstarts"], np.int64)
+        lens = (bstarts[rows + 1] - bstarts[rows]).astype(np.int64)
+        return self._decode_native(len(rows), res, lens)
+
     def match_corpus(self, corpus: Corpus) -> MatchResult:
         out = MatchResult(len(corpus))
         if not self.units.orig:
@@ -533,16 +627,20 @@ class LiteralEngine:
                 out.end_col[idx] = ec[real]
             rows = corpus.xl_indices
         else:
-            rows = range(len(corpus.haystacks))
-        for i in rows:
-            m = self.match_one(corpus.haystacks[int(i)], int(i))
-            if m is not None:
-                out.matched[i] = True
-                out.score[i] = m.score
-                out.exact[i] = m.exact
-                out.end_col[i] = m.end_col
-            else:
-                out.matched[i] = False
+            rows = np.arange(len(corpus.haystacks))
+        rows = np.asarray(rows, np.int64)
+        if len(rows):
+            # batched host path (native OpenMP host_literal_batch; falls
+            # back to the per-row oracle loop inside match_many) — kills
+            # the per-row Python cliff for unit-mode-mismatched queries
+            # and XL rows
+            m, s, e, ec = self.match_many(
+                [corpus.haystacks[int(i)] for i in rows]
+            )
+            out.matched[rows] = m
+            out.score[rows] = np.where(m, s, 0)
+            out.exact[rows] = e & m
+            out.end_col[rows] = np.where(m, ec, 0)
         return out
 
 

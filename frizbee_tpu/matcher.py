@@ -748,13 +748,7 @@ class Matcher:
                     yield m
             return
         if isinstance(haystacks, Corpus):
-            index, score, exact, end_col = self.match_arrays(haystacks)
-            order = np.argsort(index, kind="stable")
-            for j in order:
-                yield Match(
-                    score=int(score[j]), index=int(index[j]),
-                    exact=bool(exact[j]), end_col=int(end_col[j]),
-                )
+            yield from _yield_matches(*self.match_arrays(haystacks))
             return
 
         unicode = self._compiled[0].engine.unicode
@@ -767,17 +761,8 @@ class Matcher:
             return base, self.match_arrays(chunk)
 
         def emit(base, res):
-            index, score, exact, end_col = (
-                self._fused_collect(res) if fused else res
-            )
-            order = np.argsort(index, kind="stable")
-            for j in order:
-                yield Match(
-                    score=int(score[j]),
-                    index=int(index[j]) + base,
-                    exact=bool(exact[j]),
-                    end_col=int(end_col[j]),
-                )
+            cols = self._fused_collect(res) if fused else res
+            yield from _yield_matches(*cols, base=base)
 
         from collections import deque
 
@@ -924,6 +909,25 @@ def fuzzy_match_indices(
     """Lazy matching with matched-byte indices (reference:
     src/matcher/iter.rs FuzzyMatchExt::fuzzy_match_indices)."""
     return Matcher(needle, config, **kw).match_iter_indices(haystacks)
+
+
+def _yield_matches(index, score, exact, end_col, base=0):
+    """Yield Match objects in input (index-ascending) order from result
+    columns. Column-to-list conversion happens ONCE (C loop) — per-item
+    numpy scalar conversion costs ~10x a slotted-dataclass construction
+    and dominated the iterator row before this."""
+    order = np.argsort(index, kind="stable")
+    idx = index[order]
+    if base:
+        idx = idx + base
+    idx_l = idx.tolist()
+    sc_l = score[order].tolist()
+    ex_l = exact[order].tolist()
+    ec_l = end_col[order].tolist()
+    for i in range(len(idx_l)):
+        yield Match(
+            score=sc_l[i], index=idx_l[i], exact=ex_l[i], end_col=ec_l[i]
+        )
 
 
 def _dispatch_batch_groups(

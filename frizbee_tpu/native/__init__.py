@@ -119,6 +119,13 @@ def get_lib():
                     + [ctypes.c_void_p] * 4
                     + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
                 )
+                lib.host_literal_batch.argtypes = (
+                    [ctypes.c_char_p, i64p, i64p, ctypes.c_int64]
+                    + [ctypes.c_char_p, i64p, ctypes.c_char_p, i64p]
+                    + [ctypes.c_int64, ctypes.c_int64]
+                    + [ctypes.c_void_p, ctypes.c_int64]
+                    + [ctypes.c_void_p] * 3
+                )
                 _lib = lib
             except Exception:
                 _lib = None
@@ -269,6 +276,56 @@ def host_match_batch(
     )
     out = (matched.astype(bool), score, exact.astype(bool), end_col)
     return out + (idx, icnt) if indices_cap else out
+
+
+_LITERAL_MODES = {"exact": 0, "prefix": 1, "suffix": 2, "substring": 3}
+
+
+def host_literal_batch(
+    joined: bytes, starts: np.ndarray,
+    unit_pairs,  # [(orig_bytes, flip_bytes)] per needle unit
+    mode: str,
+    scoring9: np.ndarray, needle_len: int,
+    rows: Optional[np.ndarray] = None,
+):
+    """Batched literal matcher over ragged byte rows: (matched (R,) bool,
+    score (R,) i32, pos (R,) i32 byte offsets), or None when the native
+    library is unavailable. Semantics contract: oracle/literal.py
+    literal_find per row (the per-row fallback callers keep is the
+    differential oracle). ``unit_pairs`` is oracle.literal's
+    _needle_variants output — per-unit (orig, flip) byte strings."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "host_literal_batch"):
+        return None
+    starts = np.ascontiguousarray(starts, np.int64)
+    R = len(starts) - 1 if rows is None else len(rows)
+    if rows is not None:
+        rows = np.ascontiguousarray(rows, np.int64)
+    obytes = b"".join(o for o, _ in unit_pairs)
+    fbytes = b"".join(f for _, f in unit_pairs)
+    ostarts = np.zeros(len(unit_pairs) + 1, np.int64)
+    np.cumsum([len(o) for o, _ in unit_pairs], out=ostarts[1:])
+    fstarts = np.zeros(len(unit_pairs) + 1, np.int64)
+    np.cumsum([len(f) for _, f in unit_pairs], out=fstarts[1:])
+    sc = np.ascontiguousarray(scoring9, np.int32)
+    matched = np.empty(R, np.uint8)
+    score = np.empty(R, np.int32)
+    pos = np.empty(R, np.int32)
+
+    def vp(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    lib.host_literal_batch(
+        joined, _i64p(starts),
+        None if rows is None else _i64p(rows),
+        ctypes.c_int64(R),
+        obytes, _i64p(ostarts), fbytes, _i64p(fstarts),
+        ctypes.c_int64(len(unit_pairs)),
+        ctypes.c_int64(_LITERAL_MODES[mode]),
+        vp(sc), ctypes.c_int64(needle_len),
+        vp(matched), vp(score), vp(pos),
+    )
+    return matched.astype(bool), score, pos
 
 
 def host_match_batch_u32(

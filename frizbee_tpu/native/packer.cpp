@@ -1037,6 +1037,134 @@ void host_match_batch_u32(
     }
 }
 
+// Batched literal matcher over ragged byte rows (OpenMP).
+//
+// Semantics contract: oracle/literal.py literal_find — exact / prefix /
+// suffix / substring contiguous-run matching with the SW bonus schedule
+// per unit (reference: src/literal/algo.rs:262-313; substring picks the
+// highest-scoring occurrence, earliest on ties). Units are byte
+// sequences (1 byte for ASCII, UTF-8 for codepoint units); a case-flip
+// variant only matches when its byte length equals the original's, the
+// same rule the oracle's slice comparison enforces.
+//
+// mode: 0 exact, 1 prefix, 2 suffix, 3 substring. Outputs per row:
+// matched, score, pos (byte offset of the match start).
+void host_literal_batch(const uint8_t* joined, const int64_t* starts,
+                        const int64_t* rows, int64_t R,
+                        const uint8_t* obytes, const int64_t* ostarts,
+                        const uint8_t* fbytes, const int64_t* fstarts,
+                        int64_t n_units, int64_t mode,
+                        const int32_t* scoring, int64_t needle_len,
+                        uint8_t* matched_out, int32_t* score_out,
+                        int32_t* pos_out) {
+    const int32_t ms = scoring[0];
+    const int32_t prefix_b = scoring[4], cap_b = scoring[5];
+    const int32_t case_b = scoring[6], exact_b = scoring[7];
+    const int32_t delim_b = scoring[8];
+
+    // matches_at: every unit's bytes equal orig or (same-length) flip
+    auto matches_at = [&](const uint8_t* hay, int64_t len,
+                          int64_t pos) -> bool {
+        int64_t k = pos;
+        for (int64_t i = 0; i < n_units; ++i) {
+            const int64_t os = ostarts[i], ol = ostarts[i + 1] - os;
+            if (k + ol > len) return false;
+            const int64_t fs = fstarts[i], fl = fstarts[i + 1] - fs;
+            bool eq_o = memcmp(hay + k, obytes + os, (size_t)ol) == 0;
+            bool eq_f = (fl == ol) &&
+                        memcmp(hay + k, fbytes + fs, (size_t)ol) == 0;
+            if (!eq_o && !eq_f) return false;
+            k += ol;
+        }
+        return true;
+    };
+    auto is_letter = [](uint8_t b) {
+        return (b >= 0x41 && b <= 0x5A) || (b >= 0x61 && b <= 0x7A);
+    };
+    auto is_digit = [](uint8_t b) { return b >= 0x30 && b <= 0x39; };
+    auto is_delim = [&](uint8_t b) {
+        return b <= 127 && !is_letter(b) && !is_digit(b);
+    };
+    auto score_at = [&](const uint8_t* hay, int64_t len,
+                        int64_t pos) -> int32_t {
+        int32_t score = 0;
+        int64_t start = pos;
+        for (int64_t i = 0; i < n_units; ++i) {
+            const int64_t os = ostarts[i], ol = ostarts[i + 1] - os;
+            int32_t s = ms;
+            if (memcmp(hay + start, obytes + os, (size_t)ol) == 0)
+                s += case_b;
+            if (start == 0) {
+                s += prefix_b;
+            } else {
+                const uint8_t byte = hay[start];
+                const uint8_t prev = hay[start - 1];
+                if (byte >= 0x41 && byte <= 0x5A && prev >= 0x61 &&
+                    prev <= 0x7A)
+                    s += cap_b;
+                if (is_delim(prev) && !is_delim(byte)) s += delim_b;
+            }
+            score = sat_add16(score, s);
+            start += ol;
+        }
+        if (pos == 0 && needle_len == len)
+            score = sat_add16(score, exact_b);
+        return score;
+    };
+
+#pragma omp parallel for schedule(dynamic, 64)
+    for (int64_t r = 0; r < R; ++r) {
+        matched_out[r] = 0;
+        score_out[r] = 0;
+        pos_out[r] = 0;
+        const int64_t src = rows ? rows[r] : r;
+        const uint8_t* hay = joined + starts[src];
+        const int64_t len = starts[src + 1] - starts[src];
+        if (len < needle_len || needle_len == 0) continue;
+        if (mode == 0) {  // exact
+            if (len == needle_len && matches_at(hay, len, 0)) {
+                matched_out[r] = 1;
+                score_out[r] = score_at(hay, len, 0);
+            }
+        } else if (mode == 1) {  // prefix
+            if (matches_at(hay, len, 0)) {
+                matched_out[r] = 1;
+                score_out[r] = score_at(hay, len, 0);
+            }
+        } else if (mode == 2) {  // suffix
+            const int64_t pos = len - needle_len;
+            if (matches_at(hay, len, pos)) {
+                matched_out[r] = 1;
+                score_out[r] = score_at(hay, len, pos);
+                pos_out[r] = (int32_t)pos;
+            }
+        } else {  // substring: best score, earliest on ties
+            const int64_t o0s = ostarts[0], o0l = ostarts[1] - o0s;
+            const int64_t f0s = fstarts[0], f0l = fstarts[1] - f0s;
+            const uint8_t ob0 = obytes[o0s];
+            const uint8_t fb0 = (f0l == o0l) ? fbytes[f0s] : 0;
+            const bool has_f0 = f0l == o0l;
+            int32_t best = -1;
+            int64_t best_pos = 0;
+            for (int64_t pos = 0; pos + needle_len <= len; ++pos) {
+                const uint8_t b = hay[pos];
+                if (b != ob0 && !(has_f0 && b == fb0)) continue;
+                if (!matches_at(hay, len, pos)) continue;
+                const int32_t sc = score_at(hay, len, pos);
+                if (sc > best) {
+                    best = sc;
+                    best_pos = pos;
+                }
+            }
+            if (best >= 0) {
+                matched_out[r] = 1;
+                score_out[r] = best;
+                pos_out[r] = (int32_t)best_pos;
+            }
+        }
+    }
+}
+
 // Per-row UTF-8 byte counts for a UTF-32 buffer.
 void utf8_lengths(const uint32_t* joined, const int64_t* starts, int64_t n,
                   int64_t* out) {

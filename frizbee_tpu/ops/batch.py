@@ -548,9 +548,9 @@ def _fused_match_batch_fast(
     )
     cs_interpret = jax.default_backend() != "tpu"
 
-    def run_colstream(cpT_k, nuT_k, needle_q, count, W):
+    def run_colstream(cpT_k, nuT_k, needle_q, count, W, flags=None):
         m, s, e, ec, g = match_units_colstream(
-            cpT_k, nuT_k, pack_needle_scalars(needle_q, count),
+            cpT_k, nuT_k, pack_needle_scalars(needle_q, count), flags,
             W=W, n=nlen, max_typos=T, scoring=scoring, unicode=unicode,
             no_prefilter=no_prefilter, interpret=cs_interpret,
         )
@@ -577,7 +577,26 @@ def _fused_match_batch_fast(
 
     def in_place_flow(survivors):
         total = sum(b[0].shape[0] for b in buckets)
-        interpret = cs_interpret
+
+        # Per-group stage-1 alive flags (Q, nG) per bucket: one tiny MXU
+        # matmul over the corpus-resident block-OR presence planes
+        # (corpus.device_arrays_colstream). Content-clustered ordering
+        # makes most groups dead for most queries, and the kernel skips
+        # dead groups outright — the in-place flow's cost then scales
+        # with the stage-1-alive fraction WITHOUT any survivor sort or
+        # row gather.
+        flags_T = None
+        if use_colstream and use_stage1:
+            flags_T = []
+            for bi in range(len(buckets)):
+                blk_bits = buckets_T[bi][3]
+                hits = jax.lax.dot_general(
+                    blk_bits, need, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )  # (nG, Q)
+                flags_T.append(
+                    (hits >= thresh[None, :]).T.astype(jnp.int32)
+                )
 
         def body(carry, xs):
             needle_q = xs[0]
@@ -586,11 +605,12 @@ def _fused_match_batch_fast(
                 cp, nu, idx, _m4, _bits8 = b
                 B, W = cp.shape
                 if use_colstream:
-                    # corpus colstream blocks are length-sorted; idxT maps
-                    # colstream slot -> corpus index
-                    cpT, nuT, idxT = buckets_T[bi]
+                    # corpus colstream blocks are content-clustered;
+                    # idxT maps colstream slot -> corpus index
+                    cpT, nuT, idxT, _bb = buckets_T[bi]
+                    fl = xs[1 + bi] if flags_T is not None else None
                     m, s, e, ec, g = run_colstream(
-                        cpT, nuT, needle_q, B, W
+                        cpT, nuT, needle_q, B, W, flags=fl
                     )
                     key, cnt = keys_from_cols(
                         m[:B] > 0, s[:B], e[:B] > 0, ec[:B], g[:B] > 0,
@@ -603,9 +623,8 @@ def _fused_match_batch_fast(
                 counts.append(cnt)
             return carry, body_reduce(keys, counts, total)
 
-        _, (keys, counts) = jax.lax.scan(
-            body, jnp.int32(0), (needles_q,)
-        )
+        xs = (needles_q,) + (tuple(flags_T) if flags_T else ())
+        _, (keys, counts) = jax.lax.scan(body, jnp.int32(0), xs)
         return finalize(keys, counts, presorted=sort_in_body(total))
 
     def survivor_perms():

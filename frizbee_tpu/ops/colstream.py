@@ -96,23 +96,27 @@ def _utf8_ctx(hay, valid):
     return first, last, blen
 
 
-def _column(cpT_ref, j, nu, unicode):
-    """Load unit column j: (hay int32, valid, first, last, blen)."""
-    hay = cpT_ref[j].astype(jnp.int32)
+def _column(cpT_ref, j, nu, unicode, dt=jnp.int32):
+    """Load unit column j: (hay, valid, first, last, blen) in ``dt``
+    lanes (dt != int32 only on the ASCII int16 path — unicode codepoints
+    don't fit 16 bits). ``nu`` must already be in ``dt``: every i1 mask
+    in a 16-bit loop must derive from 16-bit-laid-out operands or Mosaic
+    hits an invalid (8,128)->(16,128) mask relayout."""
+    hay = cpT_ref[j].astype(dt)
     if not unicode:
         hay = hay & 0xFF
-    valid = nu > j
+    valid = nu > jnp.asarray(j, nu.dtype)
     if unicode:
         first, last, blen = _utf8_ctx(hay, valid)
     else:
         first = jnp.where(valid, hay, 0)
         last = first
-        blen = valid.astype(jnp.int32)
+        blen = valid.astype(dt)
     return hay, valid, first, last, blen
 
 
 def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
-                 no_prefilter):
+                 no_prefilter, int16_lanes=False):
     """Full-semantics match over one (W, SUBL, 128)-blocked row group.
 
     Returns int32 (SUBL, 128) tiles: matched, score, exact, end_col,
@@ -304,6 +308,19 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
     else:
         sw_bound = jmaxu
 
+    # Narrow (int16) DP lanes: the whole SW state — scores, offsets,
+    # flags — fits int16 whenever the static score bound does
+    # (kernels.score_fits_int16), and the VPU packs 16-bit elementwise
+    # ops two per 32-bit lane. ASCII only: unicode hay codepoints exceed
+    # int16. Gated by the caller (dispatch passes int16_lanes only when
+    # the bound fits and the backend lowers it — see INT16_COLSTREAM_OK).
+    dt = jnp.int16 if int16_lanes else jnp.int32
+    zd = jnp.zeros(shape, dt)
+    wstart_d = wstart.astype(dt)
+    wend_d = wend.astype(dt)
+    nu_d = nu.astype(dt)
+    include_prefix_d = wstart_d == 0
+
     def delim(b):
         letter = (
             ((b >= 0x41) & (b <= 0x5A)) | ((b >= 0x61) & (b <= 0x7A))
@@ -321,22 +338,27 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
         # bit1 = delim) instead of recomputing delim()/case from a
         # carried prev_last byte — ~9 fewer element-ops per column.
         (h, mm_bits, boff, pctx, seen_first, best, end_b, neq) = c
-        hay, valid, first, last, blen = _column(cpT_ref, j, nu, unicode)
-        active = valid & (boff >= wstart) & (boff + blen <= wend)
+        hay, valid, first, last, blen = _column(
+            cpT_ref, j, nu_d, unicode, dt=dt
+        )
+        active = valid & (boff >= wstart_d) & (boff + blen <= wend_d)
         is_first = active & (seen_first == 0)
-        seen_first = seen_first | active.astype(jnp.int32)
+        seen_first = seen_first | active.astype(dt)
 
         is_upper = (first >= 0x41) & (first <= 0x5A)
         prev_lower = (pctx & 1) > 0
         prev_delim = (pctx & 2) > 0
 
+        def cd(v):
+            return jnp.asarray(v, dt)  # dtype-pinned scalar constant
+
         cap_mask = is_upper & prev_lower & ~is_first
         delim_first = delim(first)
         delim_mask = prev_delim & ~delim_first & ~is_first
         bonus = (
-            jnp.where(cap_mask, cap_b, 0)
-            + jnp.where(delim_mask, delim_b, 0)
-            + jnp.where(is_first & include_prefix, prefix_b, 0)
+            jnp.where(cap_mask, cd(cap_b), cd(0))
+            + jnp.where(delim_mask, cd(delim_b), cd(0))
+            + jnp.where(is_first & include_prefix_d, cd(prefix_b), cd(0))
         )
         if unicode:
             delim_last = delim(last)
@@ -346,44 +368,46 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
             lower_last = (first >= 0x61) & (first <= 0x7A)
         pctx_new = jnp.where(
             valid,
-            lower_last.astype(jnp.int32)
-            | (delim_last.astype(jnp.int32) << 1),
-            0,
+            lower_last.astype(dt) | (delim_last.astype(dt) << 1),
+            cd(0),
         )
 
-        diag_in = z          # H[k-1] at column j-1 (0 for k == 0)
-        up_src = z           # H[k-1] at column j (0 for k == 0)
+        diag_in = zd         # H[k-1] at column j-1 (0 for k == 0)
+        up_src = zd          # H[k-1] at column j (0 for k == 0)
         mm_prev = jnp.zeros(shape, jnp.bool_)  # match[k-1] at column j
         h_new = []
-        mm_new = z
+        mm_new = zd
         for k in range(n):
-            occ = active & ((hay == orig_k(k)) | (hay == flip_k(k)))
-            exactc = active & (hay == orig_k(k))
+            ok = orig_k(k).astype(dt)
+            fk = flip_k(k).astype(dt)
+            occ = active & ((hay == ok) | (hay == fk))
+            exactc = active & (hay == ok)
             # left gap: H[k][j-1] - (gap_ext + gop_extra*match[k][j-1]),
             # the previous column's match flag unpacked from mm_bits
             left = h[k] - gap_ext
             if gop_extra:
                 left = left - jnp.where(
-                    (mm_bits >> k) & 1 > 0, gop_extra, 0
+                    (mm_bits >> k) & 1 > 0, cd(gop_extra), cd(0)
                 )
             if k == 0:
                 # H[-1] row is all zeros: diag simplifies, up vanishes
                 diag = jnp.where(
                     occ,
-                    match_score + bonus + jnp.where(exactc, case_b, 0),
-                    0,
+                    match_score + bonus
+                    + jnp.where(exactc, cd(case_b), cd(0)),
+                    cd(0),
                 )
                 cur = jnp.maximum(diag, left)
             else:
                 diag = jnp.where(
                     occ,
                     diag_in + match_score + bonus
-                    + jnp.where(exactc, case_b, 0),
+                    + jnp.where(exactc, cd(case_b), cd(0)),
                     jnp.maximum(diag_in - mismatch, 0),
                 )
                 up = up_src - gap_ext
                 if gop_extra:
-                    up = up - jnp.where(mm_prev, gop_extra, 0)
+                    up = up - jnp.where(mm_prev, cd(gop_extra), cd(0))
                 up = jnp.maximum(up, 0)
                 cur = jnp.maximum(jnp.maximum(diag, up), left)
             diag_in = h[k]
@@ -391,9 +415,9 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
             mm_prev = occ
             h_new.append(cur)
             if gop_extra:
-                mm_new = mm_new | (occ.astype(jnp.int32) << k)
+                mm_new = mm_new | (occ.astype(dt) << k)
             if k == n - 1:
-                masked = jnp.where(active, cur, 0)
+                masked = jnp.where(active, cur, cd(0))
                 upd = masked > best
                 end_b = jnp.where(upd, boff, end_b)
                 best = jnp.maximum(best, masked)
@@ -401,18 +425,20 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
         # (case-sensitive; ref src/matcher/algo.rs:245-248) — dynamic SMEM
         # scalar load; columns at/after n contribute 0 via the scalar
         # int32 gate (a scalar-bool & vector-mask broadcast won't lower)
-        nv_j = scal_ref[2 + jnp.minimum(j, 63)]
-        gate = jnp.where(j < n, 1, 0)  # scalar int32
-        neq = neq | ((hay != nv_j).astype(jnp.int32) & gate)
+        nv_j = scal_ref[2 + jnp.minimum(j, 63)].astype(dt)
+        gate = jnp.where(j < n, 1, 0).astype(dt)  # scalar gate
+        neq = neq | ((hay != nv_j).astype(dt) & gate)
         return (tuple(h_new), mm_new, boff + blen, pctx_new,
                 seen_first, best, end_b, neq)
 
-    h0 = tuple(z for _ in range(n))
-    init = (h0, z, z, z, z, z, z, z)
+    h0 = tuple(zd for _ in range(n))
+    init = (h0, zd, zd, zd, zd, zd, zd, zd)
     (_h, _mm, _bo, _pc, _sf, best, end_b, neq) = jax.lax.fori_loop(
         0, sw_bound, sw_body, init
     )
 
+    best = best.astype(jnp.int32)
+    end_b = end_b.astype(jnp.int32)
     score = jnp.maximum(best, 0)
     end_col = jnp.where(score > 0, end_b, wstart)
     exact = include_exact & (nu == n) & (neq == 0)
@@ -438,13 +464,14 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
     jax.jit,
     static_argnames=(
         "W", "n", "max_typos", "scoring", "unicode", "no_prefilter",
-        "interpret",
+        "interpret", "int16_lanes",
     ),
 )
 def match_units_colstream(
     cpT: jnp.ndarray,   # (nG*W, SUBL, 128) int8 (ascii) / int32 (unicode)
     nuT: jnp.ndarray,   # (nG*SUBL, 128) int32 unit counts
     scalars: jnp.ndarray,  # kernels.pack_needle_scalars layout (SMEM)
+    flags: jnp.ndarray = None,  # (nG,) int32 per-group alive flags, or None
     *,
     W: int,
     n: int,
@@ -453,6 +480,7 @@ def match_units_colstream(
     unicode: bool = False,
     no_prefilter: bool = False,
     interpret: bool = False,
+    int16_lanes: bool = False,
 ):
     """Transposed fused match over nG groups of SUBL*128 rows.
 
@@ -460,40 +488,67 @@ def match_units_colstream(
     (nG*SUBL*128,), in row order b = g*SUBL*128 + s*128 + l (the order
     device_arrays_colstream packs). Needle length ``n`` and the typo
     budget are static (the serving batch groups queries by them).
-    """
+
+    ``flags`` (when given) carries per-group stage-1 alive bits: a group
+    whose flag is 0 is guaranteed (by the block-OR presence planes —
+    corpus.device_arrays_colstream) to contain no stage-1 survivor, so
+    the kernel writes zeros without running the DP. With content-
+    clustered corpus ordering this skips the large majority of groups
+    on real-data workloads."""
     subl = cpT.shape[1]
     nG = cpT.shape[0] // W
     T = min(int(max_typos), n)
+    use_flags = flags is not None
 
-    def kernel(scal_ref, cpT_ref, nu_ref, *outs):
-        # scalars[0] = live row count: whole blocks past it (compacted
-        # survivor tails) skip the DP and write zeros (matched == 0),
-        # so kernel cost scales with survivors like match_units
-        base = pl.program_id(0) * subl * 128
-
-        @pl.when(base < scal_ref[0])
+    def body(scal_ref, cpT_ref, nu_ref, outs, alive):
+        @pl.when(alive)
         def _():
             cols = _match_block(
                 scal_ref, cpT_ref, nu_ref[...], W, n, T, scoring,
                 unicode, no_prefilter,
+                int16_lanes=int16_lanes and not unicode,
             )
             for o, c in zip(outs, cols):
                 o[...] = c
 
-        @pl.when(base >= scal_ref[0])
+        @pl.when(jnp.logical_not(alive))
         def _():
             for o in outs:
                 o[...] = jnp.zeros((subl, 128), jnp.int32)
 
+    if use_flags:
+        def kernel(scal_ref, cpT_ref, nu_ref, flag_ref, *outs):
+            g = pl.program_id(0)
+            base = g * subl * 128
+            body(scal_ref, cpT_ref, nu_ref, outs,
+                 (base < scal_ref[0]) & (flag_ref[g] > 0))
+    else:
+        def kernel(scal_ref, cpT_ref, nu_ref, *outs):
+            # scalars[0] = live row count: whole blocks past it (compacted
+            # survivor tails) skip the DP and write zeros (matched == 0),
+            # so kernel cost scales with survivors like match_units
+            base = pl.program_id(0) * subl * 128
+            body(scal_ref, cpT_ref, nu_ref, outs, base < scal_ref[0])
+
+    in_specs = [
+        pl.BlockSpec((W, subl, 128), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((subl, 128), lambda i, *_: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [cpT, nuT]
+    if use_flags:
+        # whole flags vector in SMEM each step, indexed by program_id
+        # (rank-1 blocks must cover the array; (1,)-blocks won't lower)
+        in_specs.append(
+            pl.BlockSpec((nG,), lambda i, *_: (0,),
+                         memory_space=pltpu.SMEM)
+        )
+        operands.append(flags.astype(jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nG,),
-        in_specs=[
-            pl.BlockSpec((W, subl, 128), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((subl, 128), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((subl, 128), lambda i, *_: (i, 0))
             for _ in range(5)
@@ -507,5 +562,5 @@ def match_units_colstream(
         ],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(scalars, cpT, nuT)
+    )(scalars, *operands)
     return tuple(o.reshape(-1) for o in outs)
