@@ -87,8 +87,42 @@ def main():
                 seconds_per_pass=per,
                 rows_per_sec=round(B / per) if per > 0 else None)
         except Exception as e:  # noqa: BLE001 — lowering failure is the result
+            msg = [ln for ln in str(e).splitlines() if "Mosaic" in ln]
             rec("colstream_lanes", lanes=name, rows=B, width=W,
-                error=repr(e)[:500])
+                error=(msg[0][-300:] if msg else repr(e)[:300]))
+
+    # Per-op bisect: which 16-bit vector ops does this target lower at
+    # all? (The DP kernel is compare/max-heavy — if those fail, 16-bit
+    # lanes are off the table regardless of kernel structure.)
+    from jax.experimental import pallas as pl
+
+    for dtype, dname in ((jnp.int16, "i16"), (jnp.bfloat16, "bf16")):
+        x = jnp.asarray(np.arange(8 * 128).reshape(8, 128) % 251, dtype)
+        y = jnp.asarray(
+            (np.arange(8 * 128).reshape(8, 128) * 7) % 251, dtype
+        )
+        ops = {
+            "eq_select": lambda a, b: jnp.where(a == b, a, b),
+            "gt_select": lambda a, b: jnp.where(a > b, a, b),
+            "add": lambda a, b: a + b,
+            "max": lambda a, b: jnp.maximum(a, b),
+        }
+        if dtype == jnp.int16:
+            ops["shl"] = lambda a, b: a << 1
+        for opname, fn in ops.items():
+            def kern(xr, yr, o, fn=fn):
+                o[...] = fn(xr[...], yr[...]).astype(dtype)
+
+            try:
+                out = pl.pallas_call(
+                    kern, out_shape=jax.ShapeDtypeStruct((8, 128), dtype)
+                )(x, y)
+                jax.block_until_ready(out)
+                rec("lane16_op", dtype=dname, op=opname, ok=True)
+            except Exception as e:  # noqa: BLE001
+                msg = [ln for ln in str(e).splitlines() if "Mosaic" in ln]
+                rec("lane16_op", dtype=dname, op=opname, ok=False,
+                    error=(msg[0][-160:] if msg else repr(e)[:160]))
 
 
 if __name__ == "__main__":

@@ -260,6 +260,9 @@ class PackedBucket:
             cp32 = np.pad(cp32, ((0, pad), (0, 0)))
             nup = np.pad(nup, (0, pad))
             counts = np.pad(counts, ((0, pad), (0, 0)))
+            # padding slots carry index -1 (masked by every consumer), so
+            # result columns stay group-aligned for block-level selection
+            idxt = np.pad(idxt, (0, pad), constant_values=-1)
         ng = cp32.shape[0] // gr
         cpt = np.ascontiguousarray(
             cp32.reshape(ng, _cs.SUBL, 128, w).transpose(0, 3, 1, 2)

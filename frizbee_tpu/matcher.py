@@ -342,18 +342,23 @@ class Matcher:
                 unicode=corpus.unicode,
                 score_bound=self._score_bound(),
             )
+        # Start ONLY the head slice (count + first fetch_rows matches)
+        # toward the host — async-copying the full (1+N, 2) result would
+        # ship the whole matrix over the link (~11 MB at 1.4M rows) when
+        # the common case reads a few thousand rows of it.
+        head = out[: 1 + min(self.fetch_rows, len(corpus))]
         try:
-            out.copy_to_host_async()
+            head.copy_to_host_async()
         except AttributeError:
             pass
-        return corpus, out
+        return corpus, out, head
 
     def _fused_collect(self, pending) -> tuple:
-        corpus, out = pending
+        corpus, out, head_dev = pending
         # One fetch covers the count + the first fetch_rows matches; a
         # second fetch only happens for very large result sets
         k = min(self.fetch_rows, len(corpus))
-        head = np.asarray(out[: 1 + k])
+        head = np.asarray(head_dev)
         count = int(head[0, 0])
         if count > k:
             rows = np.concatenate(
@@ -823,9 +828,14 @@ class Matcher:
     def match_list_parallel(
         self, haystacks: Sequence[str], shards: int
     ) -> List[Match]:
-        """Sharded matching with a deterministic merge; results are identical
-        to ``match_list`` (reference: src/matcher/parallel.rs:18-89). The
-        device-mesh version of this path lives in ``frizbee_tpu.parallel``."""
+        """Shard/merge SEMANTICS shim: splits the input, matches each shard
+        through the same single-device engine SEQUENTIALLY, and k-merges —
+        result-identical to ``match_list`` and to the reference's
+        rayon-parallel path (src/matcher/parallel.rs:18-89), but NOT a
+        parallel execution (one accelerator serializes device programs
+        anyway). The real parallel path — shard_map over a device mesh
+        with an all_gather top-k merge — is ``frizbee_tpu.parallel``
+        (match_topk_batch_sharded / match_corpus_sharded)."""
         if shards <= 0:
             raise ValueError("shards must be positive")
         shards = max(min(shards, -(-len(haystacks) // 2000)), 1)

@@ -513,13 +513,74 @@ def _fused_match_batch_fast(
             kc = jax.lax.sort(kc, is_stable=False)[:fetch_rows]
         return kc, cnt
 
-    def finalize(keys, counts, presorted):
+    def finalize(keys, counts, presorted, flags_cat=None):
         # P3: ONE single-operand batched sort (skipped when the scan body
         # already sorted per query), then decode [index, meta] rows.
         # Keys embed the unique row index, so the order is total and the
         # sort need not be stable.
+        #
+        # With per-group stage-1 flags (in-place colstream flow), dead
+        # groups hold only INT64_MAX sentinels — so the sort first
+        # gathers the ALIVE groups' keys to the front (a cheap batched
+        # block gather: ~1.5k groups of 8 KB rows) and sorts only a
+        # 1/4- or 1/2-capacity prefix when every query's alive groups
+        # fit. The (Q, total) full sort is the fallback; at chromium
+        # scale it alone costs ~2.5 ms/query.
+        from .colstream import SUBL
+
+        gr = SUBL * 128
+        if flags_cat is not None:
+            # a fetch window approaching half the corpus leaves nothing
+            # for the capped tiers to cut — take the plain full sort
+            if -(-fetch_rows // gr) + 1 >= -(-flags_cat.shape[1] // 2):
+                flags_cat = None
         if presorted:
             kc = keys
+        elif flags_cat is not None:
+            nGtot = flags_cat.shape[1]
+            min_blocks = min(-(-fetch_rows // gr) + 1, nGtot)
+
+            def sort_cap(cap_blocks):
+                def run(ks):
+                    with jax.enable_x64(True):
+                        kb = ks.reshape(Q, nGtot, gr)
+                        order = jnp.argsort(
+                            1 - flags_cat, axis=1, stable=True
+                        )[:, :cap_blocks]
+                        sel = jnp.take_along_axis(
+                            kb, order[:, :, None], axis=1
+                        ).reshape(Q, cap_blocks * gr)
+                        srt = jax.lax.sort(
+                            sel, dimension=1, is_stable=False
+                        )[:, :fetch_rows]
+                        if cap_blocks * gr < fetch_rows:
+                            srt = jnp.pad(
+                                srt,
+                                ((0, 0),
+                                 (0, fetch_rows - cap_blocks * gr)),
+                                constant_values=INT64_MAX,
+                            )
+                    return srt
+
+                return run
+
+            def sort_full(ks):
+                return jax.lax.sort(
+                    ks, dimension=1, is_stable=False
+                )[:, :fetch_rows]
+
+            alive = jnp.sum(flags_cat, axis=1)
+            chain = sort_full
+            for div in (2, 4):
+                cap = max(-(-nGtot // div), min_blocks)
+                fits_c = jnp.all(alive <= cap)
+                chain = (
+                    lambda fits_c=fits_c, cap=cap, nxt=chain:
+                    lambda ks: jax.lax.cond(
+                        fits_c, sort_cap(cap), nxt, ks
+                    )
+                )()
+            kc = chain(keys)
         else:
             kc = jax.lax.sort(keys, dimension=1, is_stable=False)
         kc = kc[:, :fetch_rows]
@@ -606,15 +667,17 @@ def _fused_match_batch_fast(
                 B, W = cp.shape
                 if use_colstream:
                     # corpus colstream blocks are content-clustered;
-                    # idxT maps colstream slot -> corpus index
+                    # idxT maps colstream slot -> corpus index. Keys
+                    # keep the GROUP-PADDED length so the capped
+                    # finalize can select whole groups (padding slots
+                    # carry idx -1 -> sentinel keys).
                     cpT, nuT, idxT, _bb = buckets_T[bi]
                     fl = xs[1 + bi] if flags_T is not None else None
                     m, s, e, ec, g = run_colstream(
                         cpT, nuT, needle_q, B, W, flags=fl
                     )
                     key, cnt = keys_from_cols(
-                        m[:B] > 0, s[:B], e[:B] > 0, ec[:B], g[:B] > 0,
-                        idxT,
+                        m > 0, s, e > 0, ec, g > 0, idxT,
                     )
                 else:
                     out8 = run_kernel(cp, nu, needle_q, B, W)
@@ -623,9 +686,18 @@ def _fused_match_batch_fast(
                 counts.append(cnt)
             return carry, body_reduce(keys, counts, total)
 
+        if use_colstream:
+            total = sum(bt[2].shape[0] for bt in buckets_T)
         xs = (needles_q,) + (tuple(flags_T) if flags_T else ())
         _, (keys, counts) = jax.lax.scan(body, jnp.int32(0), xs)
-        return finalize(keys, counts, presorted=sort_in_body(total))
+        return finalize(
+            keys, counts, presorted=sort_in_body(total),
+            flags_cat=(
+                jnp.concatenate(flags_T, axis=1)
+                if flags_T is not None and not sort_in_body(total)
+                else None
+            ),
+        )
 
     def survivor_perms():
         # P1b: one batched packed-key sort per bucket -> survivor perms.

@@ -310,10 +310,14 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
 
     # Narrow (int16) DP lanes: the whole SW state — scores, offsets,
     # flags — fits int16 whenever the static score bound does
-    # (kernels.score_fits_int16), and the VPU packs 16-bit elementwise
-    # ops two per 32-bit lane. ASCII only: unicode hay codepoints exceed
-    # int16. Gated by the caller (dispatch passes int16_lanes only when
-    # the bound fits and the backend lowers it — see INT16_COLSTREAM_OK).
+    # (kernels.score_fits_int16). ASCII only: unicode hay codepoints
+    # exceed int16. Parity-pinned in interpret mode, but DEAD ON v5e:
+    # Mosaic rejects EVERY 16-bit vector comparison ("Target does not
+    # support this comparison"), plus int16 max/shifts and bf16
+    # compares — and the DP is compare/max-heavy, so no kernel
+    # restructuring can dodge it (benchmarks/probe_colstream_int16.py
+    # + .jsonl carry the verbatim per-op bisect). Kept for interpret
+    # parity and for targets whose VPU packs 16-bit ops.
     dt = jnp.int16 if int16_lanes else jnp.int32
     zd = jnp.zeros(shape, dt)
     wstart_d = wstart.astype(dt)
@@ -337,7 +341,7 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
         # its last byte) is carried as one packed int32 (bit0 = lower,
         # bit1 = delim) instead of recomputing delim()/case from a
         # carried prev_last byte — ~9 fewer element-ops per column.
-        (h, mm_bits, boff, pctx, seen_first, best, end_b, neq) = c
+        (h, mm_bits, boff, pctx, seen_first, best, end_b) = c
         hay, valid, first, last, blen = _column(
             cpT_ref, j, nu_d, unicode, dt=dt
         )
@@ -421,21 +425,27 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
                 upd = masked > best
                 end_b = jnp.where(upd, boff, end_b)
                 best = jnp.maximum(best, masked)
-        # exact-equality accumulation: haystack unit j vs needle unit j
-        # (case-sensitive; ref src/matcher/algo.rs:245-248) — dynamic SMEM
-        # scalar load; columns at/after n contribute 0 via the scalar
-        # int32 gate (a scalar-bool & vector-mask broadcast won't lower)
-        nv_j = scal_ref[2 + jnp.minimum(j, 63)].astype(dt)
-        gate = jnp.where(j < n, 1, 0).astype(dt)  # scalar gate
-        neq = neq | ((hay != nv_j).astype(dt) & gate)
         return (tuple(h_new), mm_new, boff + blen, pctx_new,
-                seen_first, best, end_b, neq)
+                seen_first, best, end_b)
 
     h0 = tuple(zd for _ in range(n))
-    init = (h0, zd, zd, zd, zd, zd, zd, zd)
-    (_h, _mm, _bo, _pc, _sf, best, end_b, neq) = jax.lax.fori_loop(
+    init = (h0, zd, zd, zd, zd, zd, zd)
+    (_h, _mm, _bo, _pc, _sf, best, end_b) = jax.lax.fori_loop(
         0, sw_bound, sw_body, init
     )
+
+    # exact-equality accumulation: haystack unit j vs needle unit j
+    # (case-sensitive; ref src/matcher/algo.rs:245-248) in its OWN tiny
+    # n-trip loop instead of per-column work inside the W-trip SW loop.
+    # Rows shorter than the needle read padding zeros and set neq — they
+    # can never be exact (nu == n gate below) either way.
+    def neq_body(j, acc):
+        hay_j = cpT_ref[j].astype(jnp.int32)
+        if not unicode:
+            hay_j = hay_j & 0xFF
+        return acc | (hay_j != scal_ref[2 + j]).astype(jnp.int32)
+
+    neq = jax.lax.fori_loop(0, min(n, W), neq_body, z)
 
     best = best.astype(jnp.int32)
     end_b = end_b.astype(jnp.int32)
@@ -517,11 +527,43 @@ def match_units_colstream(
                 o[...] = jnp.zeros((subl, 128), jnp.int32)
 
     if use_flags:
-        def kernel(scal_ref, cpT_ref, nu_ref, flag_ref, *outs):
+        # flags + a fetch-index vector ride as scalar-prefetch operands
+        # so the input index maps can read them: a dead group remaps its
+        # cpT/nuT fetch to the MOST RECENT live group's index (a cummax
+        # computed below), so across a run of dead groups the block index
+        # never changes and Mosaic elides the DMAs — skipped groups cost
+        # neither compute nor HBM reads (the output blocks still visit
+        # every group and write zeros).
+        def kernel(scal_ref, flag_ref, fidx_ref, cpT_ref, nu_ref, *outs):
             g = pl.program_id(0)
             base = g * subl * 128
             body(scal_ref, cpT_ref, nu_ref, outs,
                  (base < scal_ref[0]) & (flag_ref[g] > 0))
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nG,),
+            in_specs=[
+                pl.BlockSpec(
+                    (W, subl, 128),
+                    lambda i, s, f, fi: (fi[i], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (subl, 128),
+                    lambda i, s, f, fi: (fi[i], 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec((subl, 128), lambda i, s, f, fi: (i, 0))
+                for _ in range(5)
+            ],
+        )
+        flags32 = flags.astype(jnp.int32)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (nG,), 0)
+        fidx = jax.lax.cummax(jnp.where(flags32 > 0, iota, 0))
+        prefetch = (scalars, flags32, fidx)
     else:
         def kernel(scal_ref, cpT_ref, nu_ref, *outs):
             # scalars[0] = live row count: whole blocks past it (compacted
@@ -530,30 +572,21 @@ def match_units_colstream(
             base = pl.program_id(0) * subl * 128
             body(scal_ref, cpT_ref, nu_ref, outs, base < scal_ref[0])
 
-    in_specs = [
-        pl.BlockSpec((W, subl, 128), lambda i, *_: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((subl, 128), lambda i, *_: (i, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    operands = [cpT, nuT]
-    if use_flags:
-        # whole flags vector in SMEM each step, indexed by program_id
-        # (rank-1 blocks must cover the array; (1,)-blocks won't lower)
-        in_specs.append(
-            pl.BlockSpec((nG,), lambda i, *_: (0,),
-                         memory_space=pltpu.SMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nG,),
+            in_specs=[
+                pl.BlockSpec((W, subl, 128), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((subl, 128), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((subl, 128), lambda i, *_: (i, 0))
+                for _ in range(5)
+            ],
         )
-        operands.append(flags.astype(jnp.int32))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nG,),
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((subl, 128), lambda i, *_: (i, 0))
-            for _ in range(5)
-        ],
-    )
+        prefetch = (scalars,)
     outs = pl.pallas_call(
         kernel,
         out_shape=[
@@ -562,5 +595,5 @@ def match_units_colstream(
         ],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(scalars, *operands)
+    )(*prefetch, cpT, nuT)
     return tuple(o.reshape(-1) for o in outs)
