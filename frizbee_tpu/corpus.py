@@ -74,6 +74,43 @@ def _utf8_len(cp: np.ndarray) -> np.ndarray:
     return out.astype(np.int32)
 
 
+def _cluster_order(counts: np.ndarray, nu: np.ndarray, leaf: int,
+                   unicode: bool) -> np.ndarray:
+    """Row order clustering rows with similar fold-bit presence into
+    ``leaf``-sized groups, so group-OR presence planes reject whole
+    groups for most queries.
+
+    A 16-key lexsort over presence bits (unit count innermost). The bit
+    RANKING is the lever, measured on real query workloads:
+
+    - byte corpora -> LOWEST-supported bits (>= 2%) first. Query letters
+      are discriminative (users type distinctive terms), and low-support
+      bits are the ones whose absence kills whole groups: partial-match
+      groups go 97% -> 9% alive vs the balanced ranking, chromium w64
+      42% -> 23%.
+    - codepoint corpora -> most BALANCED bits first. Hashed script
+      codepoints spread thin (every bit is low-support), so balance
+      captures structure: korean groups 95% -> 25% alive vs lowfreq.
+
+    (A pack-time audition against substrings sampled from the corpus's
+    own rows was tried and rejected: corpus-letter-biased samples form
+    weak conjunctions and rank the orderings backwards.)"""
+    b = counts.shape[0]
+    if b <= leaf:
+        return np.argsort(nu, kind="stable").astype(np.int64)
+    masks = counts > 0
+    freq = masks.mean(axis=0)
+    if unicode:
+        rank = np.argsort(np.abs(freq - 0.5), kind="stable")
+    else:
+        cand = np.where(freq >= 0.02)[0]
+        if len(cand) == 0:
+            cand = np.arange(counts.shape[1])
+        rank = cand[np.argsort(freq[cand], kind="stable")]
+    keys = [masks[:, rank[c]] for c in range(min(16, len(rank)))]
+    return np.lexsort([nu] + keys[::-1])
+
+
 @dataclass
 class PackedBucket:
     """One length bucket of the corpus, padded to ``width`` units."""
@@ -230,25 +267,29 @@ class PackedBucket:
         nu = self.n_units.astype(np.int32)
 
         # per-row capped fold-bit counts (sentinel bin 128 swallows the
-        # padding columns; same bincount trick as the XL presence path)
+        # padding columns; same bincount trick as the XL presence path).
+        # Chunked: one giant bincount allocates b*129 int64 bins and
+        # scatters cache-hostile — 64k-row chunks run ~4x faster.
         upper = (cp32 >= 0x41) & (cp32 <= 0x5A)
         fold = np.where(upper, cp32 + 0x20, cp32) & 127
         fold = np.where(
             np.arange(w, dtype=np.int32)[None, :] < nu[:, None], fold, 128
         )
-        row_of = np.repeat(np.arange(b, dtype=np.int64), w)
-        counts = np.bincount(
-            row_of * 129 + fold.ravel(), minlength=b * 129
-        ).reshape(b, 129)[:, :128]
-        counts = np.minimum(counts, PLANES).astype(np.uint8)
+        counts = np.empty((b, 128), np.uint8)
+        step = 65536
+        for s in range(0, b, step):
+            e = min(s + step, b)
+            rows_c = e - s
+            row_of = np.repeat(np.arange(rows_c, dtype=np.int64), w)
+            c = np.bincount(
+                row_of * 129 + fold[s:e].ravel(), minlength=rows_c * 129
+            ).reshape(rows_c, 129)[:, :128]
+            counts[s:e] = np.minimum(c, PLANES)
 
-        # content-clustered order: most-balanced presence bits first,
-        # unit count as the innermost key
-        masks = counts > 0
-        freq = masks.mean(axis=0) if b else np.zeros(128)
-        disc = np.argsort(np.abs(freq - 0.5), kind="stable")
-        order = np.lexsort(
-            [nu] + [masks[:, disc[c]] for c in range(16)][::-1]
+        # content-clustered order (see _cluster_order for the ranking
+        # policy and its measurements)
+        order = _cluster_order(
+            counts, nu, gr, unicode=self.cp.dtype != np.int8
         )
 
         cp32 = cp32[order]

@@ -636,28 +636,30 @@ def _fused_match_batch_fast(
         )
         return cpT, nu_k.reshape(ng * SUBL, 128)
 
-    def in_place_flow(survivors):
-        total = sum(b[0].shape[0] for b in buckets)
+    def group_flags():
+        """Per-group stage-1 alive flags (Q, nG) per bucket: one tiny
+        MXU matmul over the corpus-resident block-OR presence planes
+        (corpus.device_arrays_colstream). Content-clustered ordering
+        makes most groups dead for most queries, and the kernel skips
+        dead groups outright — the in-place flow's cost then scales
+        with the stage-1-alive fraction WITHOUT any survivor sort or
+        row gather."""
+        if not (use_colstream and use_stage1):
+            return None
+        flags_T = []
+        for bi in range(len(buckets)):
+            blk_bits = buckets_T[bi][3]
+            hits = jax.lax.dot_general(
+                blk_bits, need, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (nG, Q)
+            flags_T.append(
+                (hits >= thresh[None, :]).T.astype(jnp.int32)
+            )
+        return flags_T
 
-        # Per-group stage-1 alive flags (Q, nG) per bucket: one tiny MXU
-        # matmul over the corpus-resident block-OR presence planes
-        # (corpus.device_arrays_colstream). Content-clustered ordering
-        # makes most groups dead for most queries, and the kernel skips
-        # dead groups outright — the in-place flow's cost then scales
-        # with the stage-1-alive fraction WITHOUT any survivor sort or
-        # row gather.
-        flags_T = None
-        if use_colstream and use_stage1:
-            flags_T = []
-            for bi in range(len(buckets)):
-                blk_bits = buckets_T[bi][3]
-                hits = jax.lax.dot_general(
-                    blk_bits, need, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )  # (nG, Q)
-                flags_T.append(
-                    (hits >= thresh[None, :]).T.astype(jnp.int32)
-                )
+    def in_place_flow(survivors, flags_T=None):
+        total = sum(b[0].shape[0] for b in buckets)
 
         def body(carry, xs):
             needle_q = xs[0]
@@ -834,10 +836,30 @@ def _fused_match_batch_fast(
         # 1/16 -> 1/8 -> 1/4 -> in-place: high-survivor workloads (large
         # typo budgets, short common needles) still compact at 1/4 — a
         # full-corpus kernel pass costs ~4x the B/4 tier
-        chain = in_place_flow
+        flags_T = group_flags()
+        chain = lambda s: in_place_flow(s, flags_T)  # noqa: E731
         for div in (4, 8, 16):
             chain = tier(div, chain)
-        return chain(survivors)
+
+        if flags_T is None:
+            return chain(survivors)
+
+        # In-place-first: when every query's alive-group bound stays
+        # under ~1/3 of each bucket, in-place + group flags beats ANY
+        # compacted tier (no survivor sort, no row gather, kernel cost
+        # already proportional to alive groups) — the compacted path's
+        # P1b sort alone costs ~1.7 ms/query/bucket at 786k rows.
+        from .colstream import SUBL
+
+        gr = SUBL * 128
+        ip_ok = []
+        for bi, fl in enumerate(flags_T):
+            B = buckets[bi][0].shape[0]
+            ip_ok.append(jnp.sum(fl, axis=1) * gr <= B // 3)
+        fits_ip = jnp.all(jnp.concatenate(ip_ok))
+        return jax.lax.cond(
+            fits_ip, lambda s: in_place_flow(s, flags_T), chain, survivors
+        )
 
     return jax.lax.cond(
         jnp.sum(survivors) == 0, empty_flow, full_path, survivors

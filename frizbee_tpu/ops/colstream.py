@@ -527,43 +527,35 @@ def match_units_colstream(
                 o[...] = jnp.zeros((subl, 128), jnp.int32)
 
     if use_flags:
-        # flags + a fetch-index vector ride as scalar-prefetch operands
-        # so the input index maps can read them: a dead group remaps its
-        # cpT/nuT fetch to the MOST RECENT live group's index (a cummax
-        # computed below), so across a run of dead groups the block index
-        # never changes and Mosaic elides the DMAs — skipped groups cost
-        # neither compute nor HBM reads (the output blocks still visit
-        # every group and write zeros).
-        def kernel(scal_ref, flag_ref, fidx_ref, cpT_ref, nu_ref, *outs):
+        # flags ride as a second scalar-prefetch operand; dead groups
+        # skip the DP and write zeros. The input index maps stay
+        # IDENTITY: remapping dead groups' fetches to a previous live
+        # index (to elide their DMAs) was measured SLOWER on interleaved
+        # alive/dead patterns — it defeats the DMA double-buffer — and a
+        # dead group's block DMA costs only ~1 us (the full corpus is
+        # ~0.2 ms/query of HBM reads), so skipping compute is the whole
+        # win (benchmarks/probe_colstream_int16.py sweep notes).
+        def kernel(scal_ref, flag_ref, cpT_ref, nu_ref, *outs):
             g = pl.program_id(0)
             base = g * subl * 128
             body(scal_ref, cpT_ref, nu_ref, outs,
                  (base < scal_ref[0]) & (flag_ref[g] > 0))
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=2,
             grid=(nG,),
             in_specs=[
-                pl.BlockSpec(
-                    (W, subl, 128),
-                    lambda i, s, f, fi: (fi[i], 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (subl, 128),
-                    lambda i, s, f, fi: (fi[i], 0),
-                    memory_space=pltpu.VMEM,
-                ),
+                pl.BlockSpec((W, subl, 128), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((subl, 128), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((subl, 128), lambda i, s, f, fi: (i, 0))
+                pl.BlockSpec((subl, 128), lambda i, *_: (i, 0))
                 for _ in range(5)
             ],
         )
-        flags32 = flags.astype(jnp.int32)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (nG,), 0)
-        fidx = jax.lax.cummax(jnp.where(flags32 > 0, iota, 0))
-        prefetch = (scalars, flags32, fidx)
+        prefetch = (scalars, flags.astype(jnp.int32))
     else:
         def kernel(scal_ref, cpT_ref, nu_ref, *outs):
             # scalars[0] = live row count: whole blocks past it (compacted

@@ -58,3 +58,49 @@ def test_pack_random():
     ]
     check(haystacks, unicode=True)
     check(haystacks, unicode=False)
+
+
+def test_cluster_order_is_permutation_and_leaf_sorted():
+    """Colstream clustering returns a valid permutation whose leaf runs
+    stay unit-count-sorted, for both bit-ranking policies."""
+    import numpy as np
+
+    from frizbee_tpu.corpus import _cluster_order
+
+    rng = np.random.default_rng(0)
+    b, leaf = 5000, 256
+    counts = (rng.random((b, 128)) < 0.2).astype(np.uint8) * rng.integers(
+        1, 4, (b, 128)
+    ).astype(np.uint8)
+    nu = rng.integers(1, 65, b).astype(np.int32)
+    for unicode in (False, True):
+        order = _cluster_order(counts, nu, leaf, unicode=unicode)
+        assert sorted(order.tolist()) == list(range(b))
+    # tiny bucket: plain nu sort
+    order = _cluster_order(counts[:100], nu[:100], leaf, unicode=False)
+    assert np.all(np.diff(nu[:100][order]) >= 0)
+
+
+def test_colstream_blocks_roundtrip_indices():
+    """device_arrays_colstream's idxT must map every real row exactly
+    once and carry -1 padding slots."""
+    import numpy as np
+
+    from frizbee_tpu.corpus import pack_corpus
+
+    rng = np.random.default_rng(1)
+    pool = list("abcdefghij/XYZ")
+    hay = [
+        "".join(rng.choice(pool, size=int(rng.integers(1, 60))))
+        for _ in range(3000)
+    ]
+    corpus = pack_corpus(hay, unicode=False)
+    for b in corpus.buckets:
+        cpT, nuT, idxT, blk_bits = b.device_arrays_colstream()
+        idx = np.asarray(idxT)
+        real = idx[idx >= 0]
+        want = b.indices[b.indices >= 0]
+        assert sorted(real.tolist()) == sorted(want.tolist())
+        # padded length covers whole groups; blk_bits rows match groups
+        assert idx.shape[0] % (cpT.shape[1] * 128) == 0
+        assert blk_bits.shape[0] == idx.shape[0] // (cpT.shape[1] * 128)
