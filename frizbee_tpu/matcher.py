@@ -289,11 +289,12 @@ class Matcher:
         buckets, patterns, statics, use_kernel, bst = (
             self._fused_device_args(corpus)
         )
+        # the batched engine serves single fuzzy AND literal patterns at
+        # Q=1 (fused_match_sorted_batch routes by mode)
         fast = (
             use_kernel
             and strategy.is_by_score
             and len(statics) == 1
-            and statics[0][4] == FUZZY_MODE
             and not statics[0][2]  # not negated
         )
         if fast:
@@ -306,7 +307,7 @@ class Matcher:
                 ),
             )
             nlen = orig.shape[0]
-            needs_cs = colstream_supported(
+            needs_cs = statics[0][4] == FUZZY_MODE and colstream_supported(
                 nlen, min(statics[0][0], nlen), statics[0][1]
             )
             buckets_T = (

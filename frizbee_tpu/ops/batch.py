@@ -8,11 +8,11 @@ runs as ONE jitted computation returning one compact int32 matrix plus a
 match count. The host then issues exactly two fetches: the count, and the
 first ``count`` sorted rows.
 
-Sorting is capacity-branched: matched rows are stable-partitioned to the
-front in O(B) elementwise work, then only the smallest covering capacity
-(8k / 64k / 256k / all) is actually sorted — the device analog of the
-reference sorting its ``Vec<Match>`` of survivors, not the whole corpus
-(reference: src/matcher/mod.rs:205-222 + src/sort.rs).
+Sorting packs everything into ONE int64 key per row and runs ONE
+single-operand device sort (sentinel keys sort last) — the device analog
+of the reference sorting its ``Vec<Match>`` of survivors
+(reference: src/matcher/mod.rs:205-222 + src/sort.rs); the batched
+serving path additionally caps the sort to the stage-1-alive groups.
 
 Fetched rows are packed to two int32 words ([index, meta]) to halve
 transport on latency/bandwidth-limited host links.
@@ -39,6 +39,12 @@ from .kernels import (
 from .presence import needle_need_matrix
 from .fuzzy import fuzzy_pipeline
 from .literal import (
+    EXACT,
+    PREFIX,
+    SUBSTRING,
+    SUFFIX,
+    literal_context,
+    literal_match_ctx,
     literal_pipeline,
     literal_pipeline_ascii,
     literal_pipeline_units,
@@ -49,8 +55,6 @@ INT64_MAX = jnp.iinfo(jnp.int64).max
 
 FUZZY_MODE = "fuzzy"
 
-# Sort capacities (padded upward per corpus); see _select_sorted
-SORT_CAPS = (8192, 65536, 262144)
 
 # Batched P3 sorts amortize the per-sort floor across Q, but their HLO
 # temps scale with Q x total x n_operands; past this TOTAL-element budget
@@ -136,7 +140,7 @@ def _pack_meta(score, exact, greedy, end_col):
 def _select_sorted(matched, score, exact, end_col, greedy, index,
                    n, score_bound, sort_by_score):
     """Device select+sort: [index, meta] rows with all matches first in
-    the configured order, via stable partition + capacity-branched sort.
+    the configured order, via one packed single-operand sort.
 
     Everything packs into ONE int64 sort key — by score:
     [-((score << idx_bits) | (idx_mask - index)) << 16 | meta_low16];
@@ -187,36 +191,13 @@ def _select_sorted(matched, score, exact, end_col, greedy, index,
                 m2 = (k & 0xFFFFFFFF).astype(jnp.int32)
             return jnp.stack([i2, m2], axis=1)
 
-        # stable partition of matched rows to the front (O(B)
-        # elementwise), so a capacity-bounded sort covers every match
-        m32 = matched.astype(jnp.int32)
-        cs = jnp.cumsum(m32)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
-        pos = jnp.where(matched, cs - 1, count + iota - cs)
-        k64_p = jnp.full((B,), INT64_MAX, jnp.int64).at[pos].set(k64)
-
-        caps = [c for c in SORT_CAPS if c < B] + [B]
-
-        def sort_cap(cap):
-            head = decode(jax.lax.sort(k64_p[:cap], is_stable=False))
-            if cap < B:
-                head = jnp.concatenate(
-                    [head, decode(k64_p[cap:])], axis=0
-                )
-            return head
-
-        if len(caps) > 1:
-            which = jnp.sum(
-                jnp.stack(
-                    [count > c for c in caps[:-1]]
-                ).astype(jnp.int32),
-                dtype=jnp.int32,
-            )
-            rows = jax.lax.switch(
-                which, [functools.partial(sort_cap, c) for c in caps]
-            )
-        else:
-            rows = sort_cap(B)
+        # ONE full single-operand sort. A stable-partition + capacity-
+        # boxed sort was tried here and REMOVED: the partition's
+        # 1M-element scatter scalarizes on TPU (~75 ms/query inside the
+        # batch scan) while the full int64 single-op sort costs ~2.7 ms
+        # at 1M rows — the "cheap" O(B) partition was 25x the sort it
+        # saved (sentinel rows sort last either way).
+        rows = decode(jax.lax.sort(k64, is_stable=False))
     return count, rows
 
 
@@ -360,6 +341,20 @@ def fused_match_sorted_batch(
             bucket_statics=bucket_statics, buckets_T=buckets_T,
         )
 
+    fast_lit = (
+        use_kernel
+        and sort_by_score
+        and len(pattern_statics) == 1
+        and pattern_statics[0][4] in (EXACT, PREFIX, SUFFIX, SUBSTRING)
+        and not pattern_statics[0][2]  # not negated
+    )
+    if fast_lit:
+        return _fused_literal_batch_fast(
+            buckets, stacked_patterns[0], n=n,
+            statics=pattern_statics[0], unicode=unicode,
+            fetch_rows=fetch_rows, bucket_statics=bucket_statics,
+        )
+
     def body(carry, patterns):
         out = _fused_match_body(
             buckets, patterns, xl_mask, n, pattern_statics, sort_by_score,
@@ -451,11 +446,12 @@ def _fused_match_batch_fast(
 
     def keys_from_cols(matched, score, exact, end_col, greedy, idx):
         """Pack one bucket's kernel results into SINGLE int64 sort keys:
-        [-((score << idx_bits) | (idx_mask - index)) << 16 | meta_low16].
+        [(0xFFFF - score) | index | meta_low16] — the same layout the
+        colstream kernel's key-emit mode writes as int32 halves.
 
         A single-operand sort is ~2x XLA:TPU's two-operand (key, payload)
         sort (benchmarks/probe_sort64.py: int64 1-op == int32 1-op ==
-        ~0.5x the 2-op cost at serving shapes), and score(16b) +
+        ~0.5x the 2-op cost at serving shapes), and inv-score(16b) +
         index(<=31b) + the non-score meta bits (16b) always fit 63 bits —
         one layout for every corpus size. Ascending int64 order realizes
         (matched first, score desc, index asc); unmatched rows carry
@@ -469,11 +465,11 @@ def _fused_match_batch_fast(
         )
         cnt = jnp.sum(matched).astype(jnp.int32)
         with jax.enable_x64(True):  # scoped: the only 64-bit region
-            comp = (
-                (score.astype(jnp.int64) << idx_bits)
-                | (idx_mask - idx).astype(jnp.int64)
+            k64 = (
+                ((0xFFFF - score).astype(jnp.int64) << (idx_bits + 16))
+                | (idx.astype(jnp.int64) << 16)
+                | (meta & 0xFFFF).astype(jnp.int64)
             )
-            k64 = ((-comp) << 16) | (meta & 0xFFFF).astype(jnp.int64)
             k64 = jnp.where(matched, k64, INT64_MAX)
         return k64, cnt
 
@@ -487,13 +483,15 @@ def _fused_match_batch_fast(
         """[index, meta] from sorted int64 keys (sentinel rows are past
         the count header, never read by the host)."""
         with jax.enable_x64(True):
-            comp = -jax.lax.shift_right_arithmetic(k64, 16)
-            score = jax.lax.shift_right_logical(comp, jnp.int64(idx_bits))
-            index = (idx_mask - (comp & idx_mask)).astype(jnp.int32)
-            meta = (
-                (score.astype(jnp.int32) << 16)
-                | (k64 & 0xFFFF).astype(jnp.int32)
+            inv = jax.lax.shift_right_logical(
+                k64, jnp.int64(idx_bits + 16)
             )
+            score = (0xFFFF - inv.astype(jnp.int32)) & 0xFFFF
+            index = (
+                jax.lax.shift_right_logical(k64, jnp.int64(16))
+                & idx_mask
+            ).astype(jnp.int32)
+            meta = (score << 16) | (k64 & 0xFFFF).astype(jnp.int32)
         return index, meta
 
     def sort_in_body(total):
@@ -609,13 +607,15 @@ def _fused_match_batch_fast(
     )
     cs_interpret = jax.default_backend() != "tpu"
 
-    def run_colstream(cpT_k, nuT_k, needle_q, count, W, flags=None):
-        m, s, e, ec, g = match_units_colstream(
+    def run_colstream(cpT_k, nuT_k, needle_q, count, W, flags=None,
+                      idx_blocks=None):
+        return match_units_colstream(
             cpT_k, nuT_k, pack_needle_scalars(needle_q, count), flags,
+            idx_blocks,
             W=W, n=nlen, max_typos=T, scoring=scoring, unicode=unicode,
             no_prefilter=no_prefilter, interpret=cs_interpret,
+            idx_bits=idx_bits if idx_blocks is not None else 0,
         )
-        return m, s, e, ec, g
 
     def to_colstream_blocks(cp_k, nu_k):
         """Device-side (cap, W) -> colstream blocks (one transpose)."""
@@ -644,7 +644,12 @@ def _fused_match_batch_fast(
         dead groups outright — the in-place flow's cost then scales
         with the stage-1-alive fraction WITHOUT any survivor sort or
         row gather."""
-        if not (use_colstream and use_stage1):
+        # T == 0 only: the typo-budget colstream path under the
+        # flag-gated in-place route intermittently faults the TPU worker
+        # at 1M-row scale (not reproduced in isolation — see round-4
+        # STATUS notes); typo queries keep the tier chain, whose
+        # compacted colstream use has three rounds of runtime behind it.
+        if not (use_colstream and use_stage1 and T == 0):
             return None
         flags_T = []
         for bi in range(len(buckets)):
@@ -669,18 +674,27 @@ def _fused_match_batch_fast(
                 B, W = cp.shape
                 if use_colstream:
                     # corpus colstream blocks are content-clustered;
-                    # idxT maps colstream slot -> corpus index. Keys
-                    # keep the GROUP-PADDED length so the capped
+                    # idxT maps colstream slot -> corpus index. The
+                    # kernel emits the packed sort key directly as
+                    # int32 halves (key-emit mode) — combining them is
+                    # the ONLY per-row host-graph work, vs ~10 int64
+                    # ops per row for packing result columns (which
+                    # cost more than the DP on skip-heavy workloads).
+                    # Keys keep the GROUP-PADDED length so the capped
                     # finalize can select whole groups (padding slots
                     # carry idx -1 -> sentinel keys).
                     cpT, nuT, idxT, _bb = buckets_T[bi]
                     fl = xs[1 + bi] if flags_T is not None else None
-                    m, s, e, ec, g = run_colstream(
-                        cpT, nuT, needle_q, B, W, flags=fl
+                    hi, lo, mcol = run_colstream(
+                        cpT, nuT, needle_q, B, W, flags=fl,
+                        idx_blocks=idxT.reshape(-1, 128),
                     )
-                    key, cnt = keys_from_cols(
-                        m > 0, s, e > 0, ec, g > 0, idxT,
-                    )
+                    with jax.enable_x64(True):
+                        key = (
+                            (hi.astype(jnp.int64) << 32)
+                            | (lo.astype(jnp.int64) & 0xFFFFFFFF)
+                        )
+                    cnt = jnp.sum(mcol).astype(jnp.int32)
                 else:
                     out8 = run_kernel(cp, nu, needle_q, B, W)
                     key, cnt = keys_from(out8, idx)
@@ -844,26 +858,189 @@ def _fused_match_batch_fast(
         if flags_T is None:
             return chain(survivors)
 
-        # In-place-first: when every query's alive-group bound stays
-        # under ~1/3 of each bucket, in-place + group flags beats ANY
-        # compacted tier (no survivor sort, no row gather, kernel cost
-        # already proportional to alive groups) — the compacted path's
-        # P1b sort alone costs ~1.7 ms/query/bucket at 786k rows.
-        from .colstream import SUBL
-
-        gr = SUBL * 128
-        ip_ok = []
-        for bi, fl in enumerate(flags_T):
-            B = buckets[bi][0].shape[0]
-            ip_ok.append(jnp.sum(fl, axis=1) * gr <= B // 3)
-        fits_ip = jnp.all(jnp.concatenate(ip_ok))
-        return jax.lax.cond(
-            fits_ip, lambda s: in_place_flow(s, flags_T), chain, survivors
-        )
+        # In-place is UNCONDITIONAL when the column-stream kernel serves
+        # the needle: the compacted tiers' per-query row gather alone
+        # costs ~21 ns/row (probe_xla) while the colstream kernel's full
+        # pass costs ~4-8 ns/row and the group flags cut it further — a
+        # gather-based tier can never come out ahead, and it ALSO pays
+        # the (Q, B) survivor sorts (~1.7 ms/query/bucket at 786k rows)
+        # and a per-query device transpose (traced at ~4x the whole
+        # skip-gated kernel on the arabic profile). The tier chain
+        # remains the route for row-major-kernel needles (long needles /
+        # large typo budgets), where per-row costs are ~10x higher and
+        # compaction pays.
+        return in_place_flow(survivors, flags_T)
 
     return jax.lax.cond(
         jnp.sum(survivors) == 0, empty_flow, full_path, survivors
     )
+
+
+def _fused_literal_batch_fast(
+    buckets,  # kernel 5-tuples: (cp, nu, idx, mask4, bits8)
+    pattern,  # (orig (Q,n), flip (Q,n), sc (Q,9))
+    *,
+    n: int,
+    statics,  # (typos, no_prefilter, negated, scoring, mode, nbl)
+    unicode: bool,
+    fetch_rows: int,
+    bucket_statics=None,
+):
+    """Q-batched single-pattern LITERAL serving: the literal twin of
+    _fused_match_batch_fast. The needle-value-independent context
+    (validity, windowed bonus prefix sums, byte offsets —
+    literal_context) is hoisted OUT of the query scan and shared by
+    every query (XLA performs no loop-invariant motion of large ops out
+    of while bodies: measured 232 ms/query with the generic per-query
+    body vs a few ms here), and the result sort runs ONCE batched over
+    (Q, total) int64 keys. Key packing/decoding matches the fuzzy fast
+    path exactly so orders can never diverge."""
+    _typos, _nopre, _neg, scoring, mode, nbl = statics
+    orig_q, flip_q, _sc_q = pattern
+    Q, nlen = orig_q.shape
+    if bucket_statics is None:
+        bucket_statics = ((-1, 0),) * len(buckets)
+    idx_bits = max((n - 1).bit_length(), 1)
+    idx_mask = (1 << idx_bits) - 1
+
+    if not buckets or nlen == 0:
+        return jnp.zeros((Q, 1 + fetch_rows, 2), jnp.int32)
+
+    # hoisted per-bucket context (needle-length static per group)
+    prep = []
+    for bi, b in enumerate(buckets):
+        cpu, nu2, idx_arr, _m4, _b8 = b
+        B, W = cpu.shape
+        nu = nu2[:, 0]
+        base, n_real = bucket_statics[bi]
+        if base >= 0:
+            iota = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
+            idx_use = jnp.where(iota < n_real, iota + base, -1)
+        else:
+            idx_use = idx_arr
+        if nlen > W:
+            prep.append((None, B, idx_use))
+            continue
+        if unicode:
+            cols = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+            vmask = cols < nu2
+            cp = jnp.where(vmask, cpu, 0)
+            blen = (
+                1
+                + (cp >= 0x80).astype(jnp.int32)
+                + (cp >= 0x800).astype(jnp.int32)
+                + (cp >= 0x10000).astype(jnp.int32)
+            )
+            blen = jnp.where(vmask, blen, 0)
+            first = jnp.where(
+                cp < 0x80,
+                cp,
+                jnp.where(
+                    cp < 0x800,
+                    0xC0 | (cp >> 6),
+                    jnp.where(
+                        cp < 0x10000,
+                        0xE0 | (cp >> 12), 0xF0 | (cp >> 18),
+                    ),
+                ),
+            )
+            first = jnp.where(vmask, first, 0)
+            last = jnp.where(cp < 0x80, cp, 0x80 | (cp & 0x3F))
+            prev = jnp.concatenate(
+                [jnp.full((B, 1), -1, jnp.int32), last[:, :-1]], axis=1
+            )
+            prev = jnp.where(vmask, prev, -1)
+            from .literal import _prefix_sum
+
+            csum = _prefix_sum(blen)
+            boff = jnp.concatenate(
+                [jnp.zeros((B, 1), jnp.int32), csum[:, :-1]], axis=1
+            )
+            boff = jnp.where(vmask, boff, 0)
+            n_bytes = csum[:, -1]
+        else:
+            cp = cpu.astype(jnp.int32) & 0xFF
+            first = cp
+            prev = jnp.concatenate(
+                [jnp.full((B, 1), -1, jnp.int32), cp[:, :-1]], axis=1
+            )
+            boff = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+            n_bytes = nu
+        ctx = literal_context(
+            first, prev, boff, nu, n=nlen, W=W, scoring=scoring,
+        )
+        prep.append(((ctx, cp, nu, n_bytes, boff), B, idx_use))
+
+    total = sum(p[1] for p in prep)
+
+    def keys_from(matched, score, exact, end_col, idx):
+        matched = matched & (idx >= 0)
+        meta = _pack_meta(
+            jnp.where(matched, score, 0),
+            matched & exact,
+            jnp.zeros_like(matched),
+            jnp.where(matched, end_col, 0),
+        )
+        cnt = jnp.sum(matched).astype(jnp.int32)
+        with jax.enable_x64(True):
+            k64 = (
+                ((0xFFFF - score).astype(jnp.int64) << (idx_bits + 16))
+                | (idx.astype(jnp.int64) << 16)
+                | (meta & 0xFFFF).astype(jnp.int64)
+            )
+            k64 = jnp.where(matched, k64, INT64_MAX)
+        return k64, cnt
+
+    sort_in_body = Q * total * 2 > SORT_BODY_BUDGET
+
+    def body(carry, xs):
+        o_q, f_q = xs
+        keys, counts = [], []
+        for p in prep:
+            args, B, idx_use = p
+            if args is None:  # needle longer than the bucket width
+                with jax.enable_x64(True):
+                    keys.append(jnp.full((B,), INT64_MAX, jnp.int64))
+                counts.append(jnp.int32(0))
+                continue
+            ctx, cp, nu, n_bytes, boff = args
+            m, s, e, ec = literal_match_ctx(
+                ctx, cp, nu, n_bytes, boff, o_q, f_q,
+                mode=mode, needle_byte_len=nbl, scoring=scoring,
+            )
+            key, cnt = keys_from(m, s, e, ec, idx_use)
+            keys.append(key)
+            counts.append(cnt)
+        kc = jnp.concatenate(keys)
+        if sort_in_body:
+            kc = jax.lax.sort(kc, is_stable=False)[:fetch_rows]
+        return carry, (kc, jnp.sum(jnp.stack(counts), dtype=jnp.int32))
+
+    _, (keys, counts) = jax.lax.scan(
+        body, jnp.int32(0), (orig_q, flip_q)
+    )
+
+    with jax.enable_x64(True):
+        if sort_in_body:
+            kc = keys
+        else:
+            kc = jax.lax.sort(keys, dimension=1, is_stable=False)
+        kc = kc[:, :fetch_rows]
+        inv = jax.lax.shift_right_logical(kc, jnp.int64(idx_bits + 16))
+        score = (0xFFFF - inv.astype(jnp.int32)) & 0xFFFF
+        index = (
+            jax.lax.shift_right_logical(kc, jnp.int64(16)) & idx_mask
+        ).astype(jnp.int32)
+        meta = (score << 16) | (kc & 0xFFFF).astype(jnp.int32)
+    rows = jnp.stack([index, meta], axis=2)
+    if rows.shape[1] < fetch_rows:
+        rows = jnp.pad(
+            rows, ((0, 0), (0, fetch_rows - rows.shape[1]), (0, 0))
+        )
+    header = jnp.concatenate(
+        [counts[:, None, None], jnp.zeros((Q, 1, 1), jnp.int32)], axis=2,
+    )
+    return jnp.concatenate([header, rows], axis=1)
 
 
 def _bucket_cap(B: int, W: int, div: int = 8) -> int:

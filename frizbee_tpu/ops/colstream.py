@@ -474,7 +474,7 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
     jax.jit,
     static_argnames=(
         "W", "n", "max_typos", "scoring", "unicode", "no_prefilter",
-        "interpret", "int16_lanes",
+        "interpret", "int16_lanes", "idx_bits",
     ),
 )
 def match_units_colstream(
@@ -482,6 +482,7 @@ def match_units_colstream(
     nuT: jnp.ndarray,   # (nG*SUBL, 128) int32 unit counts
     scalars: jnp.ndarray,  # kernels.pack_needle_scalars layout (SMEM)
     flags: jnp.ndarray = None,  # (nG,) int32 per-group alive flags, or None
+    idxT: jnp.ndarray = None,  # (nG*SUBL, 128) int32 corpus indices, or None
     *,
     W: int,
     n: int,
@@ -491,26 +492,73 @@ def match_units_colstream(
     no_prefilter: bool = False,
     interpret: bool = False,
     int16_lanes: bool = False,
+    idx_bits: int = 0,
 ):
     """Transposed fused match over nG groups of SUBL*128 rows.
 
-    Returns (matched, score, exact, end_col, greedy) int32 columns, each
-    (nG*SUBL*128,), in row order b = g*SUBL*128 + s*128 + l (the order
-    device_arrays_colstream packs). Needle length ``n`` and the typo
-    budget are static (the serving batch groups queries by them).
+    Default mode returns (matched, score, exact, end_col, greedy) int32
+    columns, each (nG*SUBL*128,), in row order b = g*SUBL*128 + s*128 +
+    l (the order device_arrays_colstream packs). Needle length ``n`` and
+    the typo budget are static (the serving batch groups queries by
+    them).
 
     ``flags`` (when given) carries per-group stage-1 alive bits: a group
     whose flag is 0 is guaranteed (by the block-OR presence planes —
     corpus.device_arrays_colstream) to contain no stage-1 survivor, so
     the kernel writes zeros without running the DP. With content-
     clustered corpus ordering this skips the large majority of groups
-    on real-data workloads."""
+    on real-data workloads.
+
+    KEY-EMIT mode (``idxT`` given, with static ``idx_bits``): instead of
+    five result columns the kernel emits the serving sort key SPLIT INTO
+    int32 HALVES plus a matched column — (key_hi, key_lo, matched). The
+    63-bit key is [0xFFFF - score | corpus index | meta16] (meta16 =
+    exact<<15 | greedy<<14 | end_col), ascending order = (matched first,
+    score desc, index asc); unmatched rows carry INT64_MAX halves. This
+    removes ~10 per-row int64 ops from the serving scan body — on
+    skip-heavy workloads the host-graph key packing cost more than the
+    whole DP kernel."""
     subl = cpT.shape[1]
     nG = cpT.shape[0] // W
     T = min(int(max_typos), n)
     use_flags = flags is not None
+    emit_keys = idxT is not None
+    n_out = 3 if emit_keys else 5
 
-    def body(scal_ref, cpT_ref, nu_ref, outs, alive):
+    def pack_keys(cols, idx):
+        matched, score, exact, end_col, greedy = cols
+        ok = (matched > 0) & (idx >= 0)
+        meta16 = (
+            (exact << 15) | (greedy << 14)
+            | jnp.minimum(jnp.where(ok, end_col, 0), 0x3FFF)
+        )
+        meta16 = jnp.where(ok, meta16, 0)
+        inv = jnp.where(ok, 0xFFFF - score, 0)
+        idx_ok = jnp.where(ok, idx, 0)
+        # place value v (width bits) at bit position pos of the 64-bit
+        # key, across (hi, lo) int32 halves; positions are static
+        hi = jnp.zeros_like(idx)
+        lo = jnp.zeros_like(idx)
+
+        def put(hi, lo, v, pos):
+            if pos < 32:
+                lo = lo | (v << pos)
+                if pos > 0:
+                    hi = hi | jax.lax.shift_right_logical(
+                        v, jnp.int32(32 - pos)
+                    )
+            else:
+                hi = hi | (v << (pos - 32))
+            return hi, lo
+
+        hi, lo = put(hi, lo, meta16, 0)
+        hi, lo = put(hi, lo, idx_ok, 16)
+        hi, lo = put(hi, lo, inv, 16 + idx_bits)
+        hi = jnp.where(ok, hi, 0x7FFFFFFF)
+        lo = jnp.where(ok, lo, -1)
+        return hi, lo, ok.astype(jnp.int32)
+
+    def body(scal_ref, cpT_ref, nu_ref, idx_ref, outs, alive):
         @pl.when(alive)
         def _():
             cols = _match_block(
@@ -518,64 +566,92 @@ def match_units_colstream(
                 unicode, no_prefilter,
                 int16_lanes=int16_lanes and not unicode,
             )
+            if emit_keys:
+                cols = pack_keys(cols, idx_ref[...])
             for o, c in zip(outs, cols):
                 o[...] = c
 
         @pl.when(jnp.logical_not(alive))
         def _():
-            for o in outs:
-                o[...] = jnp.zeros((subl, 128), jnp.int32)
+            if emit_keys:
+                outs[0][...] = jnp.full(
+                    (subl, 128), 0x7FFFFFFF, jnp.int32
+                )
+                outs[1][...] = jnp.full((subl, 128), -1, jnp.int32)
+                outs[2][...] = jnp.zeros((subl, 128), jnp.int32)
+            else:
+                for o in outs:
+                    o[...] = jnp.zeros((subl, 128), jnp.int32)
+
+    in_specs = [
+        pl.BlockSpec((W, subl, 128), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((subl, 128), lambda i, *_: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [cpT, nuT]
+    if emit_keys:
+        in_specs.append(
+            pl.BlockSpec((subl, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(idxT)
 
     if use_flags:
         # flags ride as a second scalar-prefetch operand; dead groups
-        # skip the DP and write zeros. The input index maps stay
-        # IDENTITY: remapping dead groups' fetches to a previous live
-        # index (to elide their DMAs) was measured SLOWER on interleaved
-        # alive/dead patterns — it defeats the DMA double-buffer — and a
-        # dead group's block DMA costs only ~1 us (the full corpus is
-        # ~0.2 ms/query of HBM reads), so skipping compute is the whole
-        # win (benchmarks/probe_colstream_int16.py sweep notes).
-        def kernel(scal_ref, flag_ref, cpT_ref, nu_ref, *outs):
-            g = pl.program_id(0)
-            base = g * subl * 128
-            body(scal_ref, cpT_ref, nu_ref, outs,
-                 (base < scal_ref[0]) & (flag_ref[g] > 0))
+        # skip the DP and write zeros/sentinels. The input index maps
+        # stay IDENTITY: remapping dead groups' fetches to a previous
+        # live index (to elide their DMAs) was measured SLOWER on
+        # interleaved alive/dead patterns — it defeats the DMA
+        # double-buffer — and a dead group's block DMA costs only ~1 us
+        # (the full corpus is ~0.2 ms/query of HBM reads), so skipping
+        # compute is the whole win.
+        if emit_keys:
+            def kernel(scal_ref, flag_ref, cpT_ref, nu_ref, idx_ref,
+                       *outs):
+                g = pl.program_id(0)
+                base = g * subl * 128
+                body(scal_ref, cpT_ref, nu_ref, idx_ref, outs,
+                     (base < scal_ref[0]) & (flag_ref[g] > 0))
+        else:
+            def kernel(scal_ref, flag_ref, cpT_ref, nu_ref, *outs):
+                g = pl.program_id(0)
+                base = g * subl * 128
+                body(scal_ref, cpT_ref, nu_ref, None, outs,
+                     (base < scal_ref[0]) & (flag_ref[g] > 0))
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nG,),
-            in_specs=[
-                pl.BlockSpec((W, subl, 128), lambda i, *_: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((subl, 128), lambda i, *_: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((subl, 128), lambda i, *_: (i, 0))
-                for _ in range(5)
+                for _ in range(n_out)
             ],
         )
         prefetch = (scalars, flags.astype(jnp.int32))
     else:
-        def kernel(scal_ref, cpT_ref, nu_ref, *outs):
-            # scalars[0] = live row count: whole blocks past it (compacted
-            # survivor tails) skip the DP and write zeros (matched == 0),
-            # so kernel cost scales with survivors like match_units
-            base = pl.program_id(0) * subl * 128
-            body(scal_ref, cpT_ref, nu_ref, outs, base < scal_ref[0])
+        # scalars[0] = live row count: whole blocks past it (compacted
+        # survivor tails) skip the DP and write zeros (matched == 0),
+        # so kernel cost scales with survivors like match_units
+        if emit_keys:
+            def kernel(scal_ref, cpT_ref, nu_ref, idx_ref, *outs):
+                base = pl.program_id(0) * subl * 128
+                body(scal_ref, cpT_ref, nu_ref, idx_ref, outs,
+                     base < scal_ref[0])
+        else:
+            def kernel(scal_ref, cpT_ref, nu_ref, *outs):
+                base = pl.program_id(0) * subl * 128
+                body(scal_ref, cpT_ref, nu_ref, None, outs,
+                     base < scal_ref[0])
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nG,),
-            in_specs=[
-                pl.BlockSpec((W, subl, 128), lambda i, *_: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((subl, 128), lambda i, *_: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((subl, 128), lambda i, *_: (i, 0))
-                for _ in range(5)
+                for _ in range(n_out)
             ],
         )
         prefetch = (scalars,)
@@ -583,9 +659,9 @@ def match_units_colstream(
         kernel,
         out_shape=[
             jax.ShapeDtypeStruct((nG * subl, 128), jnp.int32)
-            for _ in range(5)
+            for _ in range(n_out)
         ],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(*prefetch, cpT, nuT)
+    )(*prefetch, *operands)
     return tuple(o.reshape(-1) for o in outs)

@@ -38,50 +38,33 @@ def _shift_left(x, k, fill):
     return jnp.concatenate([x[:, k:], pad], axis=1)
 
 
-def literal_pipeline(
-    cp: jnp.ndarray,  # (B, W) int32 unit values
-    first_byte: jnp.ndarray,  # (B, W) int32
-    prev_last_byte: jnp.ndarray,  # (B, W) int32 (-1 = none)
-    byte_off: jnp.ndarray,  # (B, W) int32
-    byte_len: jnp.ndarray,  # (B, W) int32
-    n_units: jnp.ndarray,  # (B,) int32
-    n_bytes: jnp.ndarray,  # (B,) int32
-    needle_orig: jnp.ndarray,  # (n,) int32
-    needle_flip: jnp.ndarray,  # (n,) int32
-    sc: jnp.ndarray,  # (9,) int32 scoring vector (unused: statics rule)
-    *,
-    mode: str,
-    needle_byte_len: int,
-    scoring: Tuple[int, ...],
+def _prefix_sum(x):
+    """Inclusive prefix sum along axis 1 via a log2(W) doubling scan
+    (jnp.cumsum lowers to an O(W)-per-element reduce-window on TPU)."""
+    B, W = x.shape
+    k = 1
+    out = x
+    while k < W:
+        out = out + jnp.concatenate(
+            [jnp.zeros((B, k), out.dtype), out[:, :-k]], axis=1
+        )
+        k *= 2
+    return out
+
+
+def literal_context(
+    first_byte, prev_last_byte, byte_off, n_units, *, n, W, scoring
 ):
-    """Batched literal match. Returns (matched, score, exact, end_col,
-    needs_greedy=False, wstart=0, wend=n_bytes) matching the fuzzy
-    pipeline's output contract so the fused graph can mix pattern modes."""
-    (match_score, _mismatch, _gop, _gex, prefix_b, cap_b, case_b,
-     exact_b, delim_b) = scoring
-    B, W = cp.shape
-    n = int(needle_orig.shape[0])
+    """Needle-VALUE-independent context for one bucket: (valid,
+    win_bonus, last_start, cols). Depends only on the corpus and the
+    static needle length ``n``, so the batched serving path computes it
+    ONCE per (bucket, group) and shares it across every query in the
+    scan (XLA does not hoist these out of the query loop by itself)."""
+    (_ms, _mm, _gop, _gex, prefix_b, cap_b, _case_b, _exact_b,
+     delim_b) = scoring
+    B = n_units.shape[0]
     cols = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
     valid = cols < n_units[:, None]
-
-    if n == 0 or n > W:
-        z = jnp.zeros((B,), jnp.int32)
-        f = jnp.zeros((B,), jnp.bool_)
-        return f, z, f, z, f, z, n_bytes.astype(jnp.int32)
-
-    # Occurrence mask: occ[:, p] == needle matches units p..p+n-1
-    occ = jnp.ones((B, W), jnp.bool_)
-    case_cnt = jnp.zeros((B, W), jnp.int32)
-    for k in range(n):
-        mk = valid & ((cp == needle_orig[k]) | (cp == needle_flip[k]))
-        ek = (valid & (cp == needle_orig[k])).astype(jnp.int32)
-        occ = occ & _shift_left(mk, k, False)
-        case_cnt = case_cnt + _shift_left(ek, k, 0)
-    last_start = n_units[:, None] - n
-    occ = occ & (cols <= last_start)
-
-    # Needle-independent per-unit bonus (reference: src/literal/algo.rs
-    # score_at): prefix at byte 0, else capitalization/delimiter context
     fb, pb = first_byte, prev_last_byte
     is_upper = (fb >= 0x41) & (fb <= 0x5A)
     prev_lower = (pb >= 0x61) & (pb <= 0x7A)
@@ -98,19 +81,59 @@ def literal_pipeline(
         jnp.where(is_upper & prev_lower, cap_b, 0)
         + jnp.where(delim(pb) & ~delim(fb), delim_b, 0),
     ).astype(jnp.int32)
-    # windowed sum of bonus over [p, p+n): exclusive cumsum difference
-    cumb = jnp.cumsum(jnp.where(valid, bonus, 0), axis=1)
+    # windowed sum of bonus over [p, p+n): exclusive prefix-sum
+    # difference. The prefix sum is a log2(W) doubling scan — XLA's
+    # jnp.cumsum lowers to an O(W)-per-element reduce-window on TPU
+    # (~13 ms per 100M elements vs ~1 ms here) — and the window-end
+    # lookup is a STATIC shift, never a gather (TPU scalarizes
+    # per-element dynamic gathers at ~10 ns/element).
+    cumb = _prefix_sum(jnp.where(valid, bonus, 0))
     cumb_excl = jnp.concatenate(
         [jnp.zeros((B, 1), jnp.int32), cumb[:, :-1]], axis=1
     )
-    end_sum = jnp.where(
-        cols + n - 1 < W,
-        jnp.take_along_axis(
-            cumb, jnp.clip(cols + n - 1, 0, W - 1), axis=1
-        ),
-        cumb[:, -1:],
-    )
+    if n > 1:
+        end_sum = jnp.concatenate(
+            [cumb[:, n - 1:],
+             jnp.broadcast_to(cumb[:, -1:], (B, n - 1))], axis=1
+        )
+    else:
+        end_sum = cumb
     win_bonus = end_sum - cumb_excl
+    last_start = n_units[:, None] - n
+    return valid, win_bonus, last_start, cols
+
+
+def literal_match_ctx(
+    ctx, cp, n_units, n_bytes, byte_off, needle_orig, needle_flip,
+    *, mode, needle_byte_len, scoring,
+):
+    """Per-query half of the literal match over one bucket, given the
+    hoisted ``literal_context``. Returns (matched, score, exact,
+    end_col)."""
+    (match_score, _mm, _gop, _gex, _pfx, _cap, case_b, exact_b,
+     _dlm) = scoring
+    valid, win_bonus, last_start, cols = ctx
+    B, W = cp.shape
+    n = int(needle_orig.shape[0])
+
+    # Occurrence mask: occ[:, p] == needle matches units p..p+n-1.
+    # Match and exact-case bits pack into ONE int8 per (unit, k) so each
+    # k materializes a single shifted array (the shift-concats are
+    # fusion boundaries — every materialization is a full (B, W) HBM
+    # round trip, and this loop dominates the literal serving body).
+    occ = jnp.ones((B, W), jnp.bool_)
+    case_cnt = jnp.zeros((B, W), jnp.int8)
+    for k in range(n):
+        eq_o = valid & (cp == needle_orig[k])
+        mk = (
+            eq_o.astype(jnp.int8)
+            | ((valid & (cp == needle_flip[k])).astype(jnp.int8) << 1)
+        )
+        sh = _shift_left(mk, k, jnp.int8(0))
+        occ = occ & (sh > 0)
+        case_cnt = case_cnt + (sh & 1)
+    occ = occ & (cols <= last_start)
+    case_cnt = case_cnt.astype(jnp.int32)
 
     score_at = n * match_score + win_bonus + case_b * case_cnt
     # whole-haystack exact run bonus (only possible at p == 0 with the
@@ -138,7 +161,10 @@ def literal_pipeline(
     BIGP = W + 1
     pos_candidates = jnp.where(masked == best[:, None], cols, BIGP)
     pos = jnp.clip(jnp.min(pos_candidates, axis=1), 0, W - 1)
-    pos_byte = jnp.take_along_axis(byte_off, pos[:, None], axis=1)[:, 0]
+    # byte offset at pos via a masked reduce (no per-row gather)
+    pos_byte = jnp.max(
+        jnp.where(cols == pos[:, None], byte_off, 0), axis=1
+    )
     end_col = jnp.where(
         matched,
         jnp.minimum(pos_byte + needle_byte_len - 1, 0xFFFF),
@@ -146,12 +172,50 @@ def literal_pipeline(
     )
     exact = matched & (pos == 0) & (n_bytes == needle_byte_len)
     score = jnp.where(matched, best, 0)
+    return matched, score.astype(jnp.int32), exact, end_col.astype(jnp.int32)
+
+
+def literal_pipeline(
+    cp: jnp.ndarray,  # (B, W) int32 unit values
+    first_byte: jnp.ndarray,  # (B, W) int32
+    prev_last_byte: jnp.ndarray,  # (B, W) int32 (-1 = none)
+    byte_off: jnp.ndarray,  # (B, W) int32
+    byte_len: jnp.ndarray,  # (B, W) int32
+    n_units: jnp.ndarray,  # (B,) int32
+    n_bytes: jnp.ndarray,  # (B,) int32
+    needle_orig: jnp.ndarray,  # (n,) int32
+    needle_flip: jnp.ndarray,  # (n,) int32
+    sc: jnp.ndarray,  # (9,) int32 scoring vector (unused: statics rule)
+    *,
+    mode: str,
+    needle_byte_len: int,
+    scoring: Tuple[int, ...],
+):
+    """Batched literal match. Returns (matched, score, exact, end_col,
+    needs_greedy=False, wstart=0, wend=n_bytes) matching the fuzzy
+    pipeline's output contract so the fused graph can mix pattern modes."""
+    B, W = cp.shape
+    n = int(needle_orig.shape[0])
+
+    if n == 0 or n > W:
+        z = jnp.zeros((B,), jnp.int32)
+        f = jnp.zeros((B,), jnp.bool_)
+        return f, z, f, z, f, z, n_bytes.astype(jnp.int32)
+
+    ctx = literal_context(
+        first_byte, prev_last_byte, byte_off, n_units,
+        n=n, W=W, scoring=scoring,
+    )
+    matched, score, exact, end_col = literal_match_ctx(
+        ctx, cp, n_units, n_bytes, byte_off, needle_orig, needle_flip,
+        mode=mode, needle_byte_len=needle_byte_len, scoring=scoring,
+    )
     zeros = jnp.zeros((B,), jnp.int32)
     return (
         matched,
-        score.astype(jnp.int32),
+        score,
         exact,
-        end_col.astype(jnp.int32),
+        end_col,
         jnp.zeros((B,), jnp.bool_),
         zeros,
         n_bytes.astype(jnp.int32),
@@ -232,7 +296,7 @@ def literal_pipeline_units(
         [jnp.full((B, 1), -1, jnp.int32), last[:, :-1]], axis=1
     )
     prev = jnp.where(valid, prev, -1)
-    csum = jnp.cumsum(blen, axis=1)
+    csum = _prefix_sum(blen)
     boff = jnp.concatenate(
         [jnp.zeros((B, 1), jnp.int32), csum[:, :-1]], axis=1
     )
