@@ -117,6 +117,23 @@ def main():
     worker.start()
     worker.join(MEASURE_DEADLINE_S)
 
+    # One retry on a mid-measure device fault (the tunneled TPU worker
+    # can crash and restart — seen live in round 4): a fresh attempt
+    # after the worker restarts often succeeds.
+    if (
+        not state.get("done")
+        and not state.get("emitted")  # a partial line already stands
+        and "UNAVAILABLE" in state.get("error", "")
+    ):
+        time.sleep(20.0)
+        if _device_reachable():
+            state = {"stage": "retry"}
+            worker = threading.Thread(
+                target=_measure, args=(state,), daemon=True
+            )
+            worker.start()
+            worker.join(MEASURE_DEADLINE_S / 2)
+
     if state.get("done"):
         return  # final line already printed by the worker
     # Deadline hit (or tunnel died mid-stage): if a stage already printed

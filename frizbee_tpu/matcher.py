@@ -716,10 +716,16 @@ class Matcher:
         """(base_index, chunk) blocks with geometrically growing sizes, so
         the first match from a slow/unbounded stream appears after tens of
         items (per-item-lazy-like), while steady state amortizes the batch
-        engine over full-size chunks."""
+        engine over full-size chunks. Sized inputs (lists) skip the
+        small warm-up chunks — the caller already materialized
+        everything, so first-match latency is not on the line."""
         it = iter(haystacks)
         base = 0
-        size = 32
+        try:
+            known = len(haystacks)
+        except TypeError:
+            known = None
+        size = self.iter_chunk if known is not None else 32
         while True:
             chunk = list(islice(it, size))
             if not chunk:
@@ -760,27 +766,56 @@ class Matcher:
         unicode = self._compiled[0].engine.unicode
         fused = self._fused_supported()
 
-        def results(base_chunk):
-            base, chunk = base_chunk
-            if fused:
-                return base, self._fused_dispatch(self._pack(chunk, unicode))
-            return base, self.match_arrays(chunk)
-
         def emit(base, res):
             cols = self._fused_collect(res) if fused else res
             yield from _yield_matches(*cols, base=base)
 
         from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
-        inflight = deque()
-        for bc in self._iter_chunks(haystacks):
-            inflight.append(results(bc))
-            if len(inflight) >= 2:
-                base, res = inflight.popleft()
-                yield from emit(base, res)
-        while inflight:
-            base, res = inflight.popleft()
-            yield from emit(base, res)
+        if not fused:
+            inflight = deque()
+            for base, chunk in self._iter_chunks(haystacks):
+                inflight.append((base, self.match_arrays(chunk)))
+                if len(inflight) >= 2:
+                    b, res = inflight.popleft()
+                    yield from emit(b, res)
+            while inflight:
+                b, res = inflight.popleft()
+                yield from emit(b, res)
+            return
+
+        # Three-stage pipeline: host pack (thread pool — the native
+        # packer releases the GIL) | device dispatch + upload | fetch +
+        # yield. Chunk N+2 packs while N+1 runs on device and N's
+        # results stream back, so the string path's serial
+        # pack->upload->fetch chain overlaps end to end.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            packing = deque()   # (base, Future[Corpus])
+            inflight = deque()  # (base, pending device handle)
+
+            def drain_packed(block):
+                while packing and (block or packing[0][1].done()):
+                    b, fut = packing.popleft()
+                    inflight.append((b, self._fused_dispatch(fut.result())))
+                    block = False
+
+            for base, chunk in self._iter_chunks(haystacks):
+                packing.append(
+                    (base, pool.submit(self._pack, chunk, unicode))
+                )
+                drain_packed(block=len(packing) >= 2)
+                while len(inflight) >= 3:
+                    b, res = inflight.popleft()
+                    yield from emit(b, res)
+            while packing:
+                drain_packed(block=True)
+                while len(inflight) >= 3:
+                    b, res = inflight.popleft()
+                    yield from emit(b, res)
+            while inflight:
+                b, res = inflight.popleft()
+                yield from emit(b, res)
 
     def match_iter_indices(
         self, haystacks: Union[Iterable[str], Corpus]
