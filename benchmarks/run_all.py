@@ -290,6 +290,7 @@ def main():
             return
         try:
             rows.append(bench_config(name, *a, **kw))
+            _persist(rows)  # crash-proof: every finished row lands
         except Exception as e:  # noqa: BLE001 — flaky backend errors
             print(json.dumps({"config": name, "error": repr(e)[:200]}),
                   flush=True)
@@ -380,6 +381,7 @@ def main():
                     "vs_reference": round(hps / ref, 3),
                 })
                 print(json.dumps(rows[-1]), flush=True)
+                _persist(rows)
             except Exception as e:  # noqa: BLE001
                 print(json.dumps({"config": "chromium_like_iter",
                                   "error": repr(e)[:200]}), flush=True)
@@ -410,9 +412,20 @@ def main():
         run("xl_heavy", xl_heavy_corpus(num_samples=min(N, 100_000)),
             "deadbeef", Config(), nq)
     if want("copy_path") or want("device_sort"):
-        bench_micro(rows)
+        try:
+            bench_micro(rows)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"config": "micro", "error": repr(e)[:200]}),
+                  flush=True)
 
-    # accumulate rows across chunked invocations, then regenerate the table
+    _persist(rows)
+    print("wrote benchmarks/RESULTS.md", file=sys.stderr)
+
+
+def _persist(rows):
+    """Merge ``rows`` into results.jsonl and regenerate RESULTS.md.
+    Called after EVERY completed row (a mid-run device fault must not
+    lose the rows that finished)."""
     seen = {}
     try:
         with open("benchmarks/results.jsonl") as f:
@@ -459,7 +472,6 @@ def main():
             "(favorable to the reference — its >1024 B rows take the "
             "linear greedy scorer).\n"
         )
-    print("wrote benchmarks/RESULTS.md", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -322,8 +322,18 @@ class PackedBucket:
             jnp.asarray(idxt),
             jnp.asarray(blk_bits),
         )
+        # host copy: the dispatcher picks the STATIC result-sort
+        # capacity from per-group alive counts before the program runs
+        self._blk_bits_np = blk_bits
         self._device_colstream_key = _cs.SUBL
         return self._device_colstream
+
+    def host_blk_bits(self) -> np.ndarray:
+        """NumPy copy of the colstream group presence planes (built on
+        first use alongside the device blocks)."""
+        if not hasattr(self, "_blk_bits_np"):
+            self.device_arrays_colstream()
+        return self._blk_bits_np
 
     def device_arrays_units(self):
         """Kernel-path device arrays for codepoint (unicode) packing:

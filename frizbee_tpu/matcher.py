@@ -317,6 +317,13 @@ class Matcher:
                 if needs_cs
                 else None
             )
+            fin_cap = None
+            if needs_cs and statics[0][0] == 0 and not statics[0][1]:
+                fin_cap = _colstream_finalize_cap(
+                    corpus,
+                    np.concatenate([orig, flip])[None, :],
+                    len(corpus),
+                )
             out = fused_match_sorted_batch(
                 buckets,
                 stacked,
@@ -330,6 +337,7 @@ class Matcher:
                 fetch_rows=len(corpus),
                 bucket_statics=bst,
                 buckets_T=buckets_T,
+                finalize_cap=fin_cap,
             )[0]
         else:
             out = fused_match_sorted(
@@ -957,6 +965,41 @@ def fuzzy_match_indices(
     return Matcher(needle, config, **kw).match_iter_indices(haystacks)
 
 
+def _colstream_finalize_cap(corpus, needles_np, fetch_rows):
+    """STATIC capped-sort group budget for the in-place serving flow,
+    chosen HOST-side: per-group stage-1 alive counts from the corpus's
+    NumPy block presence planes x the batch's needle need-matrix (the
+    exact math the device flags use, so the cap is sound). Returns the
+    smallest of {1/4, 1/2} of the total group count that covers every
+    query's alive groups, or None (full sort). Host-side because an
+    in-program lax.cond around the capped gather+sort faults the TPU
+    backend (see ops/batch finalize notes)."""
+    from .ops.colstream import SUBL
+    from .ops.presence import needle_need_matrix_np
+
+    gr = SUBL * 128
+    need, tot = needle_need_matrix_np(needles_np)
+    alive_tot = np.zeros(needles_np.shape[0], np.int64)
+    n_gtot = 0
+    for b in corpus.buckets:
+        blk = b.host_blk_bits().astype(np.int32)  # (nG, PLANES*128)
+        n_g = blk.shape[0]
+        n_gtot += n_g
+        if b.cp.shape[1] <= 128:  # colstream-served: real flags
+            hits = blk @ need  # (nG, Q)
+            alive_tot += (hits >= tot[None, :]).sum(axis=0)
+        else:  # row-major fallback bucket: flags are all-ones
+            alive_tot += n_g
+    min_blocks = min(-(-fetch_rows // gr) + 1, n_gtot)
+    if min_blocks >= -(-n_gtot // 2):
+        return None
+    for div in (4, 2):
+        cap = max(-(-n_gtot // div), min_blocks)
+        if np.all(alive_tot <= cap):
+            return int(cap)
+    return None
+
+
 def _yield_matches(index, score, exact, end_col, base=0):
     """Yield Match objects in input (index-ascending) order from result
     columns. Column-to-list conversion happens ONCE (C loop) — per-item
@@ -1056,6 +1099,15 @@ def _dispatch_batch_groups(
             if needs_cs
             else None
         )
+        fin_cap = None
+        if needs_cs and statics[0][0] == 0 and not statics[0][1]:
+            fin_cap = _colstream_finalize_cap(
+                corpus,
+                np.stack([
+                    np.concatenate(prepared[i][1][0][:2]) for i in members
+                ]),
+                min(fetch_rows, len(corpus)),
+            )
         out = fused_match_sorted_batch(
             buckets,
             stacked,
@@ -1069,6 +1121,7 @@ def _dispatch_batch_groups(
             fetch_rows=min(fetch_rows, len(corpus)),
             bucket_statics=bst,
             buckets_T=buckets_T,
+            finalize_cap=fin_cap,
         )
         try:
             out.copy_to_host_async()  # start the transfer behind later work

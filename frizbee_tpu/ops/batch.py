@@ -294,7 +294,7 @@ def fused_match_sorted(
     jax.jit,
     static_argnames=(
         "n", "pattern_statics", "sort_by_score", "use_kernel", "unicode",
-        "score_bound", "fetch_rows", "bucket_statics",
+        "score_bound", "fetch_rows", "bucket_statics", "finalize_cap",
     ),
 )
 def fused_match_sorted_batch(
@@ -312,6 +312,7 @@ def fused_match_sorted_batch(
     fetch_rows: int = 6144,
     bucket_statics=None,  # per bucket (ident_base, n_real) for the fast path
     buckets_T=None,  # per bucket (cpT, nuT, idxT) colstream blocks, or None
+    finalize_cap=None,  # STATIC capped-sort group budget (host-chosen)
 ):
     """Pipelined serving: match Q shape-uniform queries against one resident
     corpus in a single device program, one (Q, 1+fetch_rows, 2) fetch.
@@ -339,6 +340,7 @@ def fused_match_sorted_batch(
             statics=pattern_statics[0], unicode=unicode,
             score_bound=score_bound, fetch_rows=fetch_rows,
             bucket_statics=bucket_statics, buckets_T=buckets_T,
+            finalize_cap=finalize_cap,
         )
 
     fast_lit = (
@@ -377,6 +379,7 @@ def _fused_match_batch_fast(
     fetch_rows: int,
     bucket_statics=None,  # per bucket (ident_base, n_real); base -1 = no
     buckets_T=None,  # per bucket (cpT, nuT, idxT) colstream blocks, or None
+    finalize_cap=None,  # STATIC capped-sort group budget (host-chosen)
 ):
     """Q-batched single-pattern serving: the hot path.
 
@@ -512,6 +515,7 @@ def _fused_match_batch_fast(
         return kc, cnt
 
     def finalize(keys, counts, presorted, flags_cat=None):
+        # (finalize_cap is a static of the enclosing jit)
         # P3: ONE single-operand batched sort (skipped when the scan body
         # already sorted per query), then decode [index, meta] rows.
         # Keys embed the unique row index, so the order is total and the
@@ -534,51 +538,50 @@ def _fused_match_batch_fast(
                 flags_cat = None
         if presorted:
             kc = keys
-        elif flags_cat is not None:
+        elif flags_cat is not None and finalize_cap:
+            # STATIC capacity, chosen by the dispatcher from HOST-side
+            # per-group alive counts (ops/presence.needle_need_matrix_np
+            # over corpus.host_blk_bits) — an in-program lax.cond around
+            # this gather+sort FAULTS the TPU backend (minimal repro:
+            # the cond-chained capped sort crashes the worker while the
+            # identical branch body runs clean called directly). The
+            # dispatcher guarantees every query's alive groups fit
+            # finalize_cap, so dropping the tail is exact.
+            from .colstream import block_gather
+
             nGtot = flags_cat.shape[1]
-            min_blocks = min(-(-fetch_rows // gr) + 1, nGtot)
-
-            def sort_cap(cap_blocks):
-                def run(ks):
-                    with jax.enable_x64(True):
-                        kb = ks.reshape(Q, nGtot, gr)
-                        order = jnp.argsort(
-                            1 - flags_cat, axis=1, stable=True
-                        )[:, :cap_blocks]
-                        sel = jnp.take_along_axis(
-                            kb, order[:, :, None], axis=1
-                        ).reshape(Q, cap_blocks * gr)
-                        srt = jax.lax.sort(
-                            sel, dimension=1, is_stable=False
-                        )[:, :fetch_rows]
-                        if cap_blocks * gr < fetch_rows:
-                            srt = jnp.pad(
-                                srt,
-                                ((0, 0),
-                                 (0, fetch_rows - cap_blocks * gr)),
-                                constant_values=INT64_MAX,
-                            )
-                    return srt
-
-                return run
-
-            def sort_full(ks):
-                return jax.lax.sort(
-                    ks, dimension=1, is_stable=False
+            cap_blocks = min(finalize_cap, nGtot)
+            # Pallas block gather on the int32 bit-halves: XLA's batched
+            # block take_along_axis FAULTS the TPU worker at some
+            # serving shapes (round-4 minimal repro), so the alive-first
+            # groups DMA through our own copy kernel. Built OUTSIDE the
+            # x64 scope: an index map traced under enable_x64 emits i64
+            # block indices Mosaic won't legalize.
+            order = jnp.argsort(
+                1 - flags_cat, axis=1, stable=True
+            )[:, :cap_blocks]
+            kb32 = jax.lax.bitcast_convert_type(keys, jnp.int32)
+            data = kb32.reshape(Q * nGtot, gr * 2)
+            qbase = jax.lax.broadcasted_iota(
+                jnp.int32, (Q, cap_blocks), 0
+            ) * nGtot
+            rows = (qbase + order).reshape(-1)
+            sel32 = block_gather(
+                data, rows, interpret=jax.default_backend() != "tpu"
+            )
+            with jax.enable_x64(True):
+                sel = jax.lax.bitcast_convert_type(
+                    sel32.reshape(Q, cap_blocks * gr, 2), jnp.int64
+                )
+                kc = jax.lax.sort(
+                    sel, dimension=1, is_stable=False
                 )[:, :fetch_rows]
-
-            alive = jnp.sum(flags_cat, axis=1)
-            chain = sort_full
-            for div in (2, 4):
-                cap = max(-(-nGtot // div), min_blocks)
-                fits_c = jnp.all(alive <= cap)
-                chain = (
-                    lambda fits_c=fits_c, cap=cap, nxt=chain:
-                    lambda ks: jax.lax.cond(
-                        fits_c, sort_cap(cap), nxt, ks
+                if cap_blocks * gr < fetch_rows:
+                    kc = jnp.pad(
+                        kc,
+                        ((0, 0), (0, fetch_rows - cap_blocks * gr)),
+                        constant_values=INT64_MAX,
                     )
-                )()
-            kc = chain(keys)
         else:
             kc = jax.lax.sort(keys, dimension=1, is_stable=False)
         kc = kc[:, :fetch_rows]
@@ -636,6 +639,19 @@ def _fused_match_batch_fast(
         )
         return cpT, nu_k.reshape(ng * SUBL, 128)
 
+    # Colstream in-place serves buckets up to this width; wider buckets
+    # (rare straggler rows) take the row-major kernel inside the same
+    # in-place body. The in-place W=256 colstream program DETERMINISTIC-
+    # ALLY faults the TPU worker at 1M-row batch scale (bisect: the same
+    # corpus without its 256-row w256 bucket runs clean; with it, the
+    # worker crashes — the fault masqueraded as device sickness for two
+    # hours because every pm/typo/xl corpus has a w256 bucket and
+    # chromium doesn't).
+    CS_MAX_W = 128
+
+    def cs_bucket(bi):
+        return use_colstream and buckets[bi][0].shape[1] <= CS_MAX_W
+
     def group_flags():
         """Per-group stage-1 alive flags (Q, nG) per bucket: one tiny
         MXU matmul over the corpus-resident block-OR presence planes
@@ -643,24 +659,26 @@ def _fused_match_batch_fast(
         makes most groups dead for most queries, and the kernel skips
         dead groups outright — the in-place flow's cost then scales
         with the stage-1-alive fraction WITHOUT any survivor sort or
-        row gather."""
-        # T == 0 only: the typo-budget colstream path under the
-        # flag-gated in-place route intermittently faults the TPU worker
-        # at 1M-row scale (not reproduced in isolation — see round-4
-        # STATUS notes); typo queries keep the tier chain, whose
-        # compacted colstream use has three rounds of runtime behind it.
+        row gather. Non-colstream buckets get all-ones flags (their
+        keys ride in BUCKET order, not clustered order, so the group
+        planes don't apply)."""
         if not (use_colstream and use_stage1 and T == 0):
             return None
         flags_T = []
         for bi in range(len(buckets)):
             blk_bits = buckets_T[bi][3]
-            hits = jax.lax.dot_general(
-                blk_bits, need, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )  # (nG, Q)
-            flags_T.append(
-                (hits >= thresh[None, :]).T.astype(jnp.int32)
-            )
+            if cs_bucket(bi):
+                hits = jax.lax.dot_general(
+                    blk_bits, need, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )  # (nG, Q)
+                flags_T.append(
+                    (hits >= thresh[None, :]).T.astype(jnp.int32)
+                )
+            else:
+                flags_T.append(
+                    jnp.ones((Q, blk_bits.shape[0]), jnp.int32)
+                )
         return flags_T
 
     def in_place_flow(survivors, flags_T=None):
@@ -672,7 +690,7 @@ def _fused_match_batch_fast(
             for bi, b in enumerate(buckets):
                 cp, nu, idx, _m4, _bits8 = b
                 B, W = cp.shape
-                if use_colstream:
+                if cs_bucket(bi):
                     # corpus colstream blocks are content-clustered;
                     # idxT maps colstream slot -> corpus index. The
                     # kernel emits the packed sort key directly as
@@ -698,6 +716,19 @@ def _fused_match_batch_fast(
                 else:
                     out8 = run_kernel(cp, nu, needle_q, B, W)
                     key, cnt = keys_from(out8, idx)
+                    if use_colstream and flags_T is not None:
+                        # group-pad so the capped finalize's block
+                        # reshape stays aligned across buckets
+                        from .colstream import SUBL
+
+                        gr = SUBL * 128
+                        pad = (-B) % gr
+                        if pad:
+                            with jax.enable_x64(True):
+                                key = jnp.concatenate([
+                                    key,
+                                    jnp.full((pad,), INT64_MAX, jnp.int64),
+                                ])
                 keys.append(key)
                 counts.append(cnt)
             return carry, body_reduce(keys, counts, total)

@@ -470,6 +470,42 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
     )
 
 
+def block_gather(data: jnp.ndarray, rows: jnp.ndarray,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Gather whole rows of ``data`` (R, C) int32 at ``rows`` (M,) int32
+    via a trivial Pallas copy kernel (scalar-prefetched row ids drive
+    the input index map — each grid step DMAs one row block).
+
+    Exists because XLA:TPU's batched block take_along_axis FAULTS the
+    TPU worker at some serving shapes (round-4 minimal repro), and a
+    dynamic-slice scan pays ~1 ms per step of loop overhead; this is a
+    plain DMA per row. C must be a multiple of 1024 (rows reshape to
+    (8, C/8) tiles to satisfy the (8, 128) block minimum)."""
+    M = rows.shape[0]
+    R, C = data.shape
+    d3 = data.reshape(R, 8, C // 8)
+
+    def kernel(rows_ref, in_ref, out_ref):
+        out_ref[...] = in_ref[...]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(M,),
+        in_specs=[
+            pl.BlockSpec((1, 8, C // 8), lambda i, r: (r[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, C // 8), lambda i, r: (i, 0, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((M, 8, C // 8), data.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(rows.astype(jnp.int32), d3)
+    return out.reshape(M, C)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -126,6 +126,34 @@ def needle_need_matrix(needles_q: jnp.ndarray) -> tuple:
     return need, tot
 
 
+def needle_need_matrix_np(needles_q: np.ndarray) -> tuple:
+    """Host (NumPy) twin of :func:`needle_need_matrix` — same math, no
+    device round trip. Used by the serving dispatcher to choose the
+    STATIC result-sort capacity from per-group alive counts before the
+    program runs (an in-program ``lax.cond`` around the capped sort
+    faults the TPU backend — see ops/batch finalize notes)."""
+    needles_q = np.asarray(needles_q)
+    Q, n2 = needles_q.shape
+    n = n2 // 2
+    ob = needles_q[:, :n].copy()
+    fb = needles_q[:, n:].copy()
+
+    def fold(v):
+        upper = (v >= 0x41) & (v <= 0x5A)
+        return np.where(upper, v + 0x20, v) & 127
+
+    ob, fb = fold(ob), fold(fb)
+    eq = ob == fb
+    counts = np.zeros((Q, 128), np.int32)
+    for q in range(Q):
+        vals = ob[q][eq[q]]
+        counts[q] = np.bincount(vals, minlength=128)[:128]
+    planes = [(counts > k).astype(np.int8) for k in range(PLANES)]
+    need_q = np.concatenate(planes, axis=1)  # (Q, PLANES*128)
+    tot = need_q.astype(np.int32).sum(axis=1)
+    return need_q.T, tot
+
+
 def stage1_presence(
     mask: jnp.ndarray,  # (B, PLANES*4) int32 (only plane 0 is read)
     needle_packed: jnp.ndarray,  # (2n,) int32: orig then flip
