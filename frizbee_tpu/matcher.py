@@ -318,11 +318,12 @@ class Matcher:
                 else None
             )
             fin_cap = None
-            if needs_cs and statics[0][0] == 0 and not statics[0][1]:
+            if needs_cs and not statics[0][1]:
                 fin_cap = _colstream_finalize_cap(
                     corpus,
                     np.concatenate([orig, flip])[None, :],
                     len(corpus),
+                    typos=min(statics[0][0], nlen),
                 )
             out = fused_match_sorted_batch(
                 buckets,
@@ -965,7 +966,7 @@ def fuzzy_match_indices(
     return Matcher(needle, config, **kw).match_iter_indices(haystacks)
 
 
-def _colstream_finalize_cap(corpus, needles_np, fetch_rows):
+def _colstream_finalize_cap(corpus, needles_np, fetch_rows, typos=0):
     """STATIC capped-sort group budget for the in-place serving flow,
     chosen HOST-side: per-group stage-1 alive counts from the corpus's
     NumPy block presence planes x the batch's needle need-matrix (the
@@ -985,9 +986,9 @@ def _colstream_finalize_cap(corpus, needles_np, fetch_rows):
         blk = b.host_blk_bits().astype(np.int32)  # (nG, PLANES*128)
         n_g = blk.shape[0]
         n_gtot += n_g
-        if b.cp.shape[1] <= 128:  # colstream-served: real flags
+        if b.cp.shape[1] <= 1024:  # colstream-served: real flags
             hits = blk @ need  # (nG, Q)
-            alive_tot += (hits >= tot[None, :]).sum(axis=0)
+            alive_tot += (hits >= (tot - typos)[None, :]).sum(axis=0)
         else:  # row-major fallback bucket: flags are all-ones
             alive_tot += n_g
     min_blocks = min(-(-fetch_rows // gr) + 1, n_gtot)
@@ -1100,13 +1101,14 @@ def _dispatch_batch_groups(
             else None
         )
         fin_cap = None
-        if needs_cs and statics[0][0] == 0 and not statics[0][1]:
+        if needs_cs and not statics[0][1]:
             fin_cap = _colstream_finalize_cap(
                 corpus,
                 np.stack([
                     np.concatenate(prepared[i][1][0][:2]) for i in members
                 ]),
                 min(fetch_rows, len(corpus)),
+                typos=min(statics[0][0], _lens[0]),
             )
         out = fused_match_sorted_batch(
             buckets,

@@ -640,14 +640,13 @@ def _fused_match_batch_fast(
         return cpT, nu_k.reshape(ng * SUBL, 128)
 
     # Colstream in-place serves buckets up to this width; wider buckets
-    # (rare straggler rows) take the row-major kernel inside the same
-    # in-place body. The in-place W=256 colstream program DETERMINISTIC-
-    # ALLY faults the TPU worker at 1M-row batch scale (bisect: the same
-    # corpus without its 256-row w256 bucket runs clean; with it, the
-    # worker crashes — the fault masqueraded as device sickness for two
-    # hours because every pm/typo/xl corpus has a w256 bucket and
-    # chromium doesn't).
-    CS_MAX_W = 128
+    # take the row-major kernel inside the same in-place body. (A w256
+    # bucket was wrongly convicted of the round-4 worker faults — the
+    # real culprit was XLA's block take_along_axis in the capped result
+    # sort, replaced by the Pallas block_gather; with that fixed, wide-
+    # bucket colstream is clean and capping at 128 cost the _128-median
+    # datasets ~35x, since HALF their rows land in w256.)
+    CS_MAX_W = 1024
 
     def cs_bucket(bi):
         return use_colstream and buckets[bi][0].shape[1] <= CS_MAX_W
@@ -662,7 +661,7 @@ def _fused_match_batch_fast(
         row gather. Non-colstream buckets get all-ones flags (their
         keys ride in BUCKET order, not clustered order, so the group
         planes don't apply)."""
-        if not (use_colstream and use_stage1 and T == 0):
+        if not (use_colstream and use_stage1):
             return None
         flags_T = []
         for bi in range(len(buckets)):

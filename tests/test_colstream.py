@@ -166,3 +166,20 @@ def test_greedy_flag_unicode():
     needle = np.array([ord(c) for c in "linux"], np.int32)
     _assert_parity(cp, nu, needle, needle.copy(), T=0, unicode=True,
                    no_prefilter=False)
+
+
+def test_block_gather_parity():
+    """The Pallas row-copy gather must equal a NumPy fancy-index gather
+    (it replaces XLA's take_along_axis in the capped result sort)."""
+    from frizbee_tpu.ops.colstream import block_gather
+
+    rng = np.random.default_rng(9)
+    data = jnp.asarray(
+        rng.integers(-(2**31), 2**31 - 1, (64, 2048), dtype=np.int64)
+        .astype(np.int32)
+    )
+    rows = jnp.asarray(rng.integers(0, 64, 40).astype(np.int32))
+    out = block_gather(data, rows, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(data)[np.asarray(rows)]
+    )
