@@ -480,30 +480,46 @@ def block_gather(data: jnp.ndarray, rows: jnp.ndarray,
     TPU worker at some serving shapes (round-4 minimal repro), and a
     dynamic-slice scan pays ~1 ms per step of loop overhead; this is a
     plain DMA per row. C must be a multiple of 1024 (rows reshape to
-    (8, C/8) tiles to satisfy the (8, 128) block minimum)."""
+    (8, C/8) tiles to satisfy the (8, 128) block minimum). Each grid
+    step copies G=8 rows through G input views of the same array (per-
+    grid-step fixed cost is ~1-2 us — one row per step cost ~1 ms/query
+    at serving shapes)."""
+    G = 8
     M = rows.shape[0]
     R, C = data.shape
     d3 = data.reshape(R, 8, C // 8)
+    Mp = -(-M // G) * G
+    if Mp != M:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((Mp - M,), rows.dtype)]
+        )
 
-    def kernel(rows_ref, in_ref, out_ref):
-        out_ref[...] = in_ref[...]
+    def kernel(rows_ref, *refs):
+        ins = refs[:G]
+        out_ref = refs[G]
+        for j in range(G):
+            out_ref[j] = ins[j][0]
+
+    def imap(j):
+        return lambda i, r: (r[i * G + j], 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(M,),
+        grid=(Mp // G,),
         in_specs=[
-            pl.BlockSpec((1, 8, C // 8), lambda i, r: (r[i], 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, C // 8), imap(j),
+                         memory_space=pltpu.VMEM)
+            for j in range(G)
         ],
-        out_specs=pl.BlockSpec((1, 8, C // 8), lambda i, r: (i, 0, 0)),
+        out_specs=pl.BlockSpec((G, 8, C // 8), lambda i, r: (i, 0, 0)),
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((M, 8, C // 8), data.dtype),
+        out_shape=jax.ShapeDtypeStruct((Mp, 8, C // 8), data.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(rows.astype(jnp.int32), d3)
-    return out.reshape(M, C)
+    )(rows.astype(jnp.int32), *([d3] * G))
+    return out[:M].reshape(M, C)
 
 
 @functools.partial(
