@@ -539,6 +539,11 @@ def _fused_match_batch_fast(
         if presorted:
             kc = keys
         elif flags_cat is not None and finalize_cap:
+            # hi/lo int32 halves arrive SEPARATELY (keys is a (hi, lo)
+            # tuple): the combined (Q, total) int64 array plus its
+            # int32 bitcast copy cost ~540 MB at 1M x Q=32 and tipped
+            # the program plan over HBM — halves gather directly and
+            # only the capped selection ever materializes as int64.
             # STATIC capacity, chosen by the dispatcher from HOST-side
             # per-group alive counts (ops/presence.needle_need_matrix_np
             # over corpus.host_blk_bits) — an in-program lax.cond around
@@ -560,18 +565,22 @@ def _fused_match_batch_fast(
             order = jnp.argsort(
                 1 - flags_cat, axis=1, stable=True
             )[:, :cap_blocks]
-            kb32 = jax.lax.bitcast_convert_type(keys, jnp.int32)
-            data = kb32.reshape(Q * nGtot, gr * 2)
+            hi, lo = keys
             qbase = jax.lax.broadcasted_iota(
                 jnp.int32, (Q, cap_blocks), 0
             ) * nGtot
             rows = (qbase + order).reshape(-1)
-            sel32 = block_gather(
-                data, rows, interpret=jax.default_backend() != "tpu"
-            )
+            interp = jax.default_backend() != "tpu"
+            g_hi = block_gather(
+                hi.reshape(Q * nGtot, gr), rows, interpret=interp
+            ).reshape(Q, cap_blocks * gr)
+            g_lo = block_gather(
+                lo.reshape(Q * nGtot, gr), rows, interpret=interp
+            ).reshape(Q, cap_blocks * gr)
             with jax.enable_x64(True):
-                sel = jax.lax.bitcast_convert_type(
-                    sel32.reshape(Q, cap_blocks * gr, 2), jnp.int64
+                sel = (
+                    (g_hi.astype(jnp.int64) << 32)
+                    | (g_lo.astype(jnp.int64) & 0xFFFFFFFF)
                 )
                 kc = jax.lax.sort(
                     sel, dimension=1, is_stable=False
@@ -583,6 +592,13 @@ def _fused_match_batch_fast(
                         constant_values=INT64_MAX,
                     )
         else:
+            if isinstance(keys, tuple):
+                hi, lo = keys
+                with jax.enable_x64(True):
+                    keys = (
+                        (hi.astype(jnp.int64) << 32)
+                        | (lo.astype(jnp.int64) & 0xFFFFFFFF)
+                    )
             kc = jax.lax.sort(keys, dimension=1, is_stable=False)
         kc = kc[:, :fetch_rows]
         index, metas = decode_keys(kc)
@@ -685,7 +701,7 @@ def _fused_match_batch_fast(
 
         def body(carry, xs):
             needle_q = xs[0]
-            keys, counts = [], []
+            his, los, counts = [], [], []
             for bi, b in enumerate(buckets):
                 cp, nu, idx, _m4, _bits8 = b
                 B, W = cp.shape
@@ -706,16 +722,16 @@ def _fused_match_batch_fast(
                         cpT, nuT, needle_q, B, W, flags=fl,
                         idx_blocks=idxT.reshape(-1, 128),
                     )
-                    with jax.enable_x64(True):
-                        key = (
-                            (hi.astype(jnp.int64) << 32)
-                            | (lo.astype(jnp.int64) & 0xFFFFFFFF)
-                        )
                     cnt = jnp.sum(mcol).astype(jnp.int32)
                 else:
                     out8 = run_kernel(cp, nu, needle_q, B, W)
                     key, cnt = keys_from(out8, idx)
-                    if use_colstream and flags_T is not None:
+                    with jax.enable_x64(True):
+                        hi = jax.lax.shift_right_logical(
+                            key, jnp.int64(32)
+                        ).astype(jnp.int32)
+                        lo = (key & 0xFFFFFFFF).astype(jnp.int32)
+                    if use_colstream:
                         # group-pad so the capped finalize's block
                         # reshape stays aligned across buckets
                         from .colstream import SUBL
@@ -723,19 +739,42 @@ def _fused_match_batch_fast(
                         gr = SUBL * 128
                         pad = (-B) % gr
                         if pad:
-                            with jax.enable_x64(True):
-                                key = jnp.concatenate([
-                                    key,
-                                    jnp.full((pad,), INT64_MAX, jnp.int64),
-                                ])
-                keys.append(key)
+                            hi = jnp.concatenate([
+                                hi,
+                                jnp.full((pad,), 0x7FFFFFFF, jnp.int32),
+                            ])
+                            lo = jnp.concatenate([
+                                lo, jnp.full((pad,), -1, jnp.int32),
+                            ])
+                his.append(hi)
+                los.append(lo)
                 counts.append(cnt)
-            return carry, body_reduce(keys, counts, total)
+            # keys ride the scan as int32 HALVES: combining to int64 in
+            # the stacked (Q, total) form doubled the finalize's working
+            # set and tipped the Q=32 1M-row program plan over HBM
+            hi_cat = jnp.concatenate(his)
+            lo_cat = jnp.concatenate(los)
+            cnt = jnp.sum(jnp.stack(counts), dtype=jnp.int32)
+            if sort_in_body(total):
+                with jax.enable_x64(True):
+                    kc = (
+                        (hi_cat.astype(jnp.int64) << 32)
+                        | (lo_cat.astype(jnp.int64) & 0xFFFFFFFF)
+                    )
+                    kc = jax.lax.sort(kc, is_stable=False)[:fetch_rows]
+                return carry, (kc, cnt)
+            return carry, (hi_cat, lo_cat, cnt)
 
         if use_colstream:
             total = sum(bt[2].shape[0] for bt in buckets_T)
         xs = (needles_q,) + (tuple(flags_T) if flags_T else ())
-        _, (keys, counts) = jax.lax.scan(body, jnp.int32(0), xs)
+        if sort_in_body(total):
+            _, (keys, counts) = jax.lax.scan(body, jnp.int32(0), xs)
+        else:
+            _, (hi_s, lo_s, counts) = jax.lax.scan(
+                body, jnp.int32(0), xs
+            )
+            keys = (hi_s, lo_s)
         return finalize(
             keys, counts, presorted=sort_in_body(total),
             flags_cat=(

@@ -478,12 +478,11 @@ def block_gather(data: jnp.ndarray, rows: jnp.ndarray,
 
     Exists because XLA:TPU's batched block take_along_axis FAULTS the
     TPU worker at some serving shapes (round-4 minimal repro), and a
-    dynamic-slice scan pays ~1 ms per step of loop overhead; this is a
-    plain DMA per row. C must be a multiple of 1024 (rows reshape to
-    (8, C/8) tiles to satisfy the (8, 128) block minimum). Each grid
-    step copies G=8 rows through G input views of the same array (per-
-    grid-step fixed cost is ~1-2 us — one row per step cost ~1 ms/query
-    at serving shapes)."""
+    dynamic-slice scan pays ~1 ms per step of loop overhead. The data
+    operand stays UNBLOCKED (ANY memory space — no operand copy; G
+    aliased blocked operands materialized G copies and OOMed HBM at
+    Q=32) and each grid step issues G overlapped row DMAs by hand.
+    C must be a multiple of 1024 (rows view as (8, C/8) tiles)."""
     G = 8
     M = rows.shape[0]
     R, C = data.shape
@@ -494,31 +493,35 @@ def block_gather(data: jnp.ndarray, rows: jnp.ndarray,
             [rows, jnp.zeros((Mp - M,), rows.dtype)]
         )
 
-    def kernel(rows_ref, *refs):
-        ins = refs[:G]
-        out_ref = refs[G]
+    def kernel(rows_ref, data_ref, out_ref, scratch, sem):
+        i = pl.program_id(0)
+        copies = []
         for j in range(G):
-            out_ref[j] = ins[j][0]
-
-    def imap(j):
-        return lambda i, r: (r[i * G + j], 0, 0)
+            c = pltpu.make_async_copy(
+                data_ref.at[rows_ref[i * G + j]], scratch.at[j], sem
+            )
+            c.start()
+            copies.append(c)
+        for c in copies:
+            c.wait()
+        out_ref[...] = scratch[...]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Mp // G,),
-        in_specs=[
-            pl.BlockSpec((1, 8, C // 8), imap(j),
-                         memory_space=pltpu.VMEM)
-            for j in range(G)
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec((G, 8, C // 8), lambda i, r: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((G, 8, C // 8), data.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
     )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Mp, 8, C // 8), data.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(rows.astype(jnp.int32), *([d3] * G))
+    )(rows.astype(jnp.int32), d3)
     return out[:M].reshape(M, C)
 
 
