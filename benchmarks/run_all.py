@@ -470,7 +470,22 @@ def _persist(rows):
             "flags skipped most of the pass). xl_heavy's reference "
             "anchor is DERIVED: Partial Match len-64 byte-scaled x32 "
             "(favorable to the reference — its >1024 B rows take the "
-            "linear greedy scorer).\n"
+            "linear greedy scorer).\n\nVs the reference's PUBLISHED "
+            "8-THREAD rows (its real deployment mode; "
+            "BENCHMARKS.md:65/85/105 — Chromium 404M, Arabic 594M, "
+            "Korean 589M haystacks/s), this single chip serves "
+        )
+        x8 = {"chromium_like": 404e6, "unicode_arabic": 594e6,
+              "unicode_korean": 589e6}
+        parts = []
+        for cfg_name, anchor in x8.items():
+            r = seen.get(cfg_name)
+            if r and r.get("haystacks_per_sec_serving"):
+                ratio = r["haystacks_per_sec_serving"] / anchor
+                parts.append(f"{cfg_name} at {ratio:.2f}x")
+        f.write(", ".join(parts) + ".\n")
+        f.write(
+            ""
         )
 
 
