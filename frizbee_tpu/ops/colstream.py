@@ -70,6 +70,14 @@ def colstream_supported(n: int, max_typos, no_prefilter: bool) -> bool:
     return int(max_typos) <= MAX_COLSTREAM_TYPOS
 
 
+def colstream_literal_supported(n: int) -> bool:
+    """Literal (exact/prefix/suffix/substring) colstream support: the
+    bitap prefix-alive bitmask needs n bits of one int32 lane and the
+    per-prefix score accumulators need n register tiles — the same
+    budget as the fuzzy DP states."""
+    return 1 <= n <= MAX_COLSTREAM_NEEDLE
+
+
 def _utf8_ctx(hay, valid):
     """(first_byte, last_byte, byte_len) for one codepoint column.
     Mirrors kernels._unit_context's per-unit formulas."""
@@ -470,6 +478,172 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
     )
 
 
+def _literal_block(scal_ref, cpT_ref, nu, W, n, mode, nbl, scoring,
+                   unicode):
+    """Literal (exact/prefix/suffix/substring) match over one
+    (W, SUBL, 128)-blocked row group: the contiguous-run twin of
+    ``_match_block``, same output contract.
+
+    Semantics are pinned to ops/literal.literal_match_ctx (itself pinned
+    to the oracle and the reference's src/literal/algo.rs:183-313):
+    score = n*match + windowed bonus sum + case bonus per orig-case unit
+    + exact bonus for whole-haystack runs, best occurrence preferring
+    the earliest on ties, end_col = start byte + needle byte len - 1,
+    exact = best at unit 0 covering every byte.
+
+    Instead of the jnp path's n shifted (B, W) occurrence arrays (each a
+    full HBM round trip — the cost that made literal serving 10x slower
+    than fuzzy), the kernel walks unit columns once carrying a bitap
+    prefix-alive bitmask ``D`` (bit k = a run of length k+1 ends here)
+    and per-prefix-length accumulators S[k] (bonus+case sum of that
+    run) — ~3 element-ops per (column, k). EXACT/PREFIX runs can only
+    complete at column n-1, so those modes walk min(n, jmax) columns
+    instead of the full width."""
+    from .literal import EXACT, PREFIX, SUBSTRING, SUFFIX
+
+    (match_score, _mm, _gop, _gex, prefix_b, cap_b, case_b,
+     exact_b, delim_b) = scoring
+    shape = nu.shape
+    z = jnp.zeros(shape, jnp.int32)
+    neg1 = jnp.full(shape, -1, jnp.int32)
+    jmaxu = jnp.minimum(jnp.max(nu), W)
+    short = mode in (EXACT, PREFIX)  # completion only at column n-1
+    bound = jnp.minimum(jmaxu, n) if short else jmaxu
+
+    def orig_k(k):
+        return scal_ref[2 + k]
+
+    def flip_k(k):
+        return scal_ref[2 + 64 + k]  # MAX_KERNEL_NEEDLE == 64 pad
+
+    def delim(b):
+        letter = (
+            ((b >= 0x41) & (b <= 0x5A)) | ((b >= 0x61) & (b <= 0x7A))
+        )
+        digit = (b >= 0x30) & (b <= 0x39)
+        return (b >= 0) & (b <= 127) & ~letter & ~digit
+
+    def body(j, c):
+        (D, S, SB, best, b_sb, b_p0, boff, pctx) = c
+        hay, valid, first, last, blen = _column(cpT_ref, j, nu, unicode)
+        if not unicode:
+            boff = jnp.broadcast_to(jnp.asarray(j, jnp.int32), shape)
+        # per-column bonus (needle-independent; literal_context formula):
+        # byte offset 0 (== column 0, every row) takes the prefix bonus;
+        # later columns take capitalization/delimiter context carried in
+        # pctx (bit0 = prev unit's last byte was lowercase, bit1 delim)
+        is_upper = (first >= 0x41) & (first <= 0x5A)
+        prev_lower = (pctx & 1) > 0
+        prev_delim = (pctx & 2) > 0
+        delim_first = delim(first)
+        bonus = jnp.where(
+            j == 0,
+            jnp.full(shape, prefix_b, jnp.int32),
+            jnp.where(is_upper & prev_lower, cap_b, 0)
+            + jnp.where(prev_delim & ~delim_first, delim_b, 0),
+        )
+        if unicode:
+            delim_last = delim(last)
+            lower_last = (last >= 0x61) & (last <= 0x7A)
+        else:
+            delim_last = delim_first
+            lower_last = (first >= 0x61) & (first <= 0x7A)
+        pctx_new = jnp.where(
+            valid, lower_last.astype(jnp.int32)
+            | (delim_last.astype(jnp.int32) << 1), 0,
+        )
+
+        D_new = z
+        S_new = []
+        SB_new = []
+        done = s_done = sb_done = None
+        for k in range(n):
+            eq_o = valid & (hay == orig_k(k))
+            occ_k = eq_o | (valid & (hay == flip_k(k)))
+            if k == 0:
+                alive = occ_k
+                s_k = bonus + jnp.where(eq_o, case_b, 0)
+            else:
+                alive = occ_k & (((D >> (k - 1)) & 1) > 0)
+                s_k = S[k - 1] + bonus + jnp.where(eq_o, case_b, 0)
+            s_k = jnp.where(alive, s_k, 0)
+            D_new = D_new | (alive.astype(jnp.int32) << k)
+            S_new.append(s_k)
+            sb_k = None
+            if unicode:
+                sb_k = jnp.where(alive, boff if k == 0 else SB[k - 1], 0)
+                SB_new.append(sb_k)
+            if k == n - 1:
+                done, s_done, sb_done = alive, s_k, sb_k
+
+        # completion: a run of length n ends at this column; its start
+        # unit is j-n+1 (== 0 iff j == n-1)
+        at_p0 = j == n - 1
+        cand = n * match_score + s_done
+        # whole-haystack run bonus (start 0 covering every unit)
+        cand = cand + jnp.where(at_p0 & (nu == n), exact_b, 0)
+        cand = jnp.minimum(cand, 0xFFFF)
+        if mode == EXACT:
+            sel = done & at_p0 & (nu == n)
+        elif mode == PREFIX:
+            sel = done & at_p0
+        elif mode == SUFFIX:
+            sel = done & (j == nu - 1)
+        elif mode == SUBSTRING:
+            sel = done
+        else:  # pragma: no cover
+            raise ValueError(mode)
+        # strict > while walking starts in ascending order == highest
+        # score preferring the earliest (the reference tie-break)
+        upd = sel & (cand > best)
+        best = jnp.where(upd, cand, best)
+        if unicode:
+            start_b = sb_done
+        else:
+            start_b = jnp.broadcast_to(
+                jnp.asarray(j - (n - 1), jnp.int32), shape
+            )
+        b_sb = jnp.where(upd, start_b, b_sb)
+        b_p0 = jnp.where(upd, jnp.where(at_p0, 1, 0), b_p0)
+        if not unicode:
+            boff = z  # unused carry for ascii (recomputed per column)
+        return (D_new, tuple(S_new), tuple(SB_new), best, b_sb, b_p0,
+                boff + blen, pctx_new)
+
+    S0 = tuple(z for _ in range(n))
+    SB0 = tuple(z for _ in range(n)) if unicode else ()
+    init = (z, S0, SB0, neg1, z, z, z, z)
+    (_D, _S, _SB, best, b_sb, b_p0, boff, _pc) = jax.lax.fori_loop(
+        0, bound, body, init
+    )
+
+    # total byte length (for the exact flag): ascii rows have nu bytes;
+    # unicode rows accumulate blen — with a residual loop past the
+    # short-mode bound (cheap: 4 ops/column, no match state)
+    if not unicode:
+        nb = jnp.minimum(nu, W)
+    else:
+        def nb_body(j, acc):
+            _h, _v, _f, _l, blen = _column(cpT_ref, j, nu, unicode)
+            return acc + blen
+
+        nb = jax.lax.fori_loop(bound, jmaxu, nb_body, boff)
+
+    matched = best >= 0
+    score = jnp.where(matched, best, 0)
+    end_col = jnp.where(
+        matched, jnp.minimum(b_sb + nbl - 1, 0xFFFF), 0
+    )
+    exact = matched & (b_p0 > 0) & (nb == nbl)
+    return (
+        matched.astype(jnp.int32),
+        score,
+        exact.astype(jnp.int32),
+        end_col,
+        jnp.zeros(shape, jnp.int32),  # literal never needs greedy
+    )
+
+
 def block_gather(data: jnp.ndarray, rows: jnp.ndarray,
                  interpret: bool = False) -> jnp.ndarray:
     """Gather whole rows of ``data`` (R, C) int32 at ``rows`` (M,) int32
@@ -529,7 +703,7 @@ def block_gather(data: jnp.ndarray, rows: jnp.ndarray,
     jax.jit,
     static_argnames=(
         "W", "n", "max_typos", "scoring", "unicode", "no_prefilter",
-        "interpret", "int16_lanes", "idx_bits",
+        "interpret", "int16_lanes", "idx_bits", "mode", "needle_byte_len",
     ),
 )
 def match_units_colstream(
@@ -548,6 +722,8 @@ def match_units_colstream(
     interpret: bool = False,
     int16_lanes: bool = False,
     idx_bits: int = 0,
+    mode: str = "fuzzy",
+    needle_byte_len: int = 0,
 ):
     """Transposed fused match over nG groups of SUBL*128 rows.
 
@@ -616,11 +792,17 @@ def match_units_colstream(
     def body(scal_ref, cpT_ref, nu_ref, idx_ref, outs, alive):
         @pl.when(alive)
         def _():
-            cols = _match_block(
-                scal_ref, cpT_ref, nu_ref[...], W, n, T, scoring,
-                unicode, no_prefilter,
-                int16_lanes=int16_lanes and not unicode,
-            )
+            if mode == "fuzzy":
+                cols = _match_block(
+                    scal_ref, cpT_ref, nu_ref[...], W, n, T, scoring,
+                    unicode, no_prefilter,
+                    int16_lanes=int16_lanes and not unicode,
+                )
+            else:
+                cols = _literal_block(
+                    scal_ref, cpT_ref, nu_ref[...], W, n, mode,
+                    needle_byte_len, scoring, unicode,
+                )
             if emit_keys:
                 cols = pack_keys(cols, idx_ref[...])
             for o, c in zip(outs, cols):
