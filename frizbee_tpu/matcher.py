@@ -307,9 +307,15 @@ class Matcher:
                 ),
             )
             nlen = orig.shape[0]
-            needs_cs = statics[0][4] == FUZZY_MODE and colstream_supported(
-                nlen, min(statics[0][0], nlen), statics[0][1]
-            )
+            is_lit = statics[0][4] != FUZZY_MODE
+            if is_lit:
+                from .ops.colstream import colstream_literal_supported
+
+                needs_cs = colstream_literal_supported(nlen)
+            else:
+                needs_cs = colstream_supported(
+                    nlen, min(statics[0][0], nlen), statics[0][1]
+                )
             buckets_T = (
                 tuple(
                     b.device_arrays_colstream() for b in corpus.buckets
@@ -318,12 +324,14 @@ class Matcher:
                 else None
             )
             fin_cap = None
-            if needs_cs and not statics[0][1]:
+            if needs_cs and (is_lit or not statics[0][1]):
+                # literal matching ignores the typo budget; its stage-1
+                # (and so its finalize cap) runs at T=0
                 fin_cap = _colstream_finalize_cap(
                     corpus,
                     np.concatenate([orig, flip])[None, :],
                     len(corpus),
-                    typos=min(statics[0][0], nlen),
+                    typos=0 if is_lit else min(statics[0][0], nlen),
                 )
             out = fused_match_sorted_batch(
                 buckets,
@@ -1083,16 +1091,23 @@ def _dispatch_batch_groups(
         # (cached per corpus) only when this group's fast in-place flow
         # can take it (single fuzzy pattern, needle/typo budget in range)
         from .ops.batch import FUZZY_MODE
-        from .ops.colstream import colstream_supported
+        from .ops.colstream import (
+            colstream_literal_supported,
+            colstream_supported,
+        )
 
+        is_lit = statics[0][4] != FUZZY_MODE if n_pat == 1 else False
         needs_cs = (
             use_kernel
             and n_pat == 1
-            and statics[0][4] == FUZZY_MODE
             and not statics[0][2]
             and config.sort.is_by_score
-            and colstream_supported(
-                _lens[0], min(statics[0][0], _lens[0]), statics[0][1]
+            and (
+                colstream_literal_supported(_lens[0])
+                if is_lit
+                else colstream_supported(
+                    _lens[0], min(statics[0][0], _lens[0]), statics[0][1]
+                )
             )
         )
         buckets_T = (
@@ -1101,14 +1116,16 @@ def _dispatch_batch_groups(
             else None
         )
         fin_cap = None
-        if needs_cs and not statics[0][1]:
+        if needs_cs and (is_lit or not statics[0][1]):
+            # literal ignores the typo budget: stage-1 and the finalize
+            # cap run at T=0
             fin_cap = _colstream_finalize_cap(
                 corpus,
                 np.stack([
                     np.concatenate(prepared[i][1][0][:2]) for i in members
                 ]),
                 min(fetch_rows, len(corpus)),
-                typos=min(statics[0][0], _lens[0]),
+                typos=0 if is_lit else min(statics[0][0], _lens[0]),
             )
         out = fused_match_sorted_batch(
             buckets,

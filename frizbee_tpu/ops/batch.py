@@ -26,7 +26,11 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .colstream import colstream_supported, match_units_colstream
+from .colstream import (
+    colstream_literal_supported,
+    colstream_supported,
+    match_units_colstream,
+)
 from .kernels import (
     INT16_MOSAIC_OK,
     block_rows,
@@ -325,16 +329,26 @@ def fused_match_sorted_batch(
     statics; the caller groups by those.
     """
 
-    fast = (
+    single = (
         use_kernel
         and sort_by_score
         and len(pattern_statics) == 1
-        and pattern_statics[0][4] == FUZZY_MODE
         and not pattern_statics[0][2]  # not negated
-        and score_bound is not None
-        # any corpus size: the int64 result key covers every layout
     )
-    if fast:
+    mode0 = pattern_statics[0][4] if pattern_statics else None
+    nlen0 = stacked_patterns[0][0].shape[1] if stacked_patterns else 0
+
+    fast = single and mode0 == FUZZY_MODE and score_bound is not None
+    # literal serving rides the SAME flag-gated in-place flow when the
+    # literal colstream kernel covers the needle (every use_kernel
+    # bucket width <= CS_MAX_W, so all buckets take the kernel)
+    fast_lit_cs = (
+        single
+        and mode0 in (EXACT, PREFIX, SUFFIX, SUBSTRING)
+        and buckets_T is not None
+        and colstream_literal_supported(nlen0)
+    )
+    if fast or fast_lit_cs:
         return _fused_match_batch_fast(
             buckets, stacked_patterns[0], n=n,
             statics=pattern_statics[0], unicode=unicode,
@@ -344,11 +358,7 @@ def fused_match_sorted_batch(
         )
 
     fast_lit = (
-        use_kernel
-        and sort_by_score
-        and len(pattern_statics) == 1
-        and pattern_statics[0][4] in (EXACT, PREFIX, SUFFIX, SUBSTRING)
-        and not pattern_statics[0][2]  # not negated
+        single and mode0 in (EXACT, PREFIX, SUFFIX, SUBSTRING)
     )
     if fast_lit:
         return _fused_literal_batch_fast(
@@ -406,14 +416,20 @@ def _fused_match_batch_fast(
           over every row.
       P3 (batched): one (Q, cap) two-operand sort -> [index, meta] rows.
     """
-    typos, no_prefilter, _neg, scoring, _mode, _nbl = statics
+    typos, no_prefilter, _neg, scoring, mode, nbl = statics
     orig_q, flip_q, _sc_q = pattern
     Q, nlen = orig_q.shape
+    is_literal = mode != FUZZY_MODE
     # clamp the typo budget to the needle length (a budget >= needle
     # length auto-passes either way; an unclamped budget would unroll
-    # that many DP states in the kernel)
-    T = min(int(typos), nlen)
-    use_stage1 = not no_prefilter and nlen > T
+    # that many DP states in the kernel). Literal matching ignores the
+    # typo budget entirely (reference: src/literal/mod.rs:1-8), so its
+    # stage-1 presence reject runs at T=0 — sound a fortiori for
+    # contiguous runs — regardless of the config's max_typos.
+    T = 0 if is_literal else min(int(typos), nlen)
+    use_stage1 = (
+        nlen > 0 if is_literal else (not no_prefilter and nlen > T)
+    )
     if bucket_statics is None:
         bucket_statics = ((-1, 0),) * len(buckets)
 
@@ -425,6 +441,12 @@ def _fused_match_batch_fast(
         # bucket-less corpus (empty, or every row XL): no device rows;
         # the host path fills XL matches in downstream
         return jnp.zeros((Q, 1 + fetch_rows, 2), jnp.int32)
+
+    # literal mode has no row-major kernel fallback: the router only
+    # sends it here with colstream blocks for a supported needle
+    assert not is_literal or (buckets_T is not None and nlen > 0), (
+        "literal fast path requires colstream blocks"
+    )
 
     def run_kernel(cp_r, nu_r, needle_q, count_rows, width):
         """Kernel over logical rows; narrow (<128-lane) buckets pack
@@ -622,7 +644,11 @@ def _fused_match_batch_fast(
     # the kernel).
     use_colstream = (
         buckets_T is not None
-        and colstream_supported(nlen, T, no_prefilter)
+        and (
+            colstream_literal_supported(nlen)
+            if is_literal
+            else colstream_supported(nlen, T, no_prefilter)
+        )
     )
     cs_interpret = jax.default_backend() != "tpu"
 
@@ -634,6 +660,7 @@ def _fused_match_batch_fast(
             W=W, n=nlen, max_typos=T, scoring=scoring, unicode=unicode,
             no_prefilter=no_prefilter, interpret=cs_interpret,
             idx_bits=idx_bits if idx_blocks is not None else 0,
+            mode=mode, needle_byte_len=nbl,
         )
 
     def to_colstream_blocks(cp_k, nu_k):

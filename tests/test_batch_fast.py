@@ -194,6 +194,45 @@ def test_key64_layout_roundtrip():
         np.testing.assert_array_equal(m2, meta16)
 
 
+def test_fast_literal_serving_parity(corpus_partial):
+    """Literal modes ride the flag-gated colstream fast path (round-5):
+    multi-group corpus + Q>1 exercises stage-1 group flags, key-emit,
+    and the capped finalize for contiguous-run matching."""
+    from frizbee_tpu.config import Matching
+
+    for mode in (
+        Matching.SUBSTRING, Matching.PREFIX, Matching.SUFFIX,
+        Matching.EXACT,
+    ):
+        cfg = Config(matching=mode)
+        _assert_query_parity(
+            corpus_partial, ["dead", "beef", "deadbeef"], cfg
+        )
+
+
+def test_fast_literal_serving_unicode():
+    from frizbee_tpu.config import Matching
+
+    hay = unicode_corpus(
+        "arabic", num_samples=4200, median_units=18, needle="إن",
+        seed=9,
+    )
+    corpus = pack_corpus(hay, unicode=True)
+    for mode in (Matching.SUBSTRING, Matching.PREFIX):
+        _assert_query_parity(
+            corpus, ["إن", "ن"], Config(matching=mode)
+        )
+
+
+def test_fast_literal_topk(corpus_partial):
+    from frizbee_tpu.config import Matching
+
+    _assert_query_parity(
+        corpus_partial, ["dead", "ea"],
+        Config(matching=Matching.SUBSTRING), k=40,
+    )
+
+
 def test_fast_empty_batch_short_circuit():
     """A batch where no query has any stage-1 survivor must produce empty
     results through the short-circuit flow, identically to the oracle."""
