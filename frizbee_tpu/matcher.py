@@ -279,60 +279,40 @@ class Matcher:
         instead of the generic one-query program; on in-place workloads
         that engine is ~10-20x faster per query."""
         from .ops.batch import (
-            FUZZY_MODE,
             fused_match_sorted,
             fused_match_sorted_batch,
         )
-        from .ops.colstream import colstream_supported
 
         strategy = self._config.sort
         buckets, patterns, statics, use_kernel, bst = (
             self._fused_device_args(corpus)
         )
         # the batched engine serves single fuzzy AND literal patterns at
-        # Q=1 (fused_match_sorted_batch routes by mode)
+        # Q=1 (fused_match_sorted_batch routes by mode), plus any
+        # multi-pattern / negated combination whose every pattern fits
+        # the column-stream kernel
+        from .ops.batch import colstream_eligible_all
+
+        pats_host = [cp.engine._host_needle() for cp in self._compiled]
+        lens = [p[0].shape[0] for p in pats_host]
+        single = len(statics) == 1 and not statics[0][2]
         fast = (
             use_kernel
             and strategy.is_by_score
-            and len(statics) == 1
-            and not statics[0][2]  # not negated
+            and (single or colstream_eligible_all(statics, lens))
         )
         if fast:
             import jax.numpy as jnp
 
-            orig, flip, sc = self._compiled[0].engine._host_needle()
-            stacked = (
-                tuple(
-                    jnp.asarray(a[None]) for a in (orig, flip, sc)
-                ),
+            stacked = tuple(
+                tuple(jnp.asarray(a[None]) for a in p)
+                for p in pats_host
             )
-            nlen = orig.shape[0]
-            is_lit = statics[0][4] != FUZZY_MODE
-            if is_lit:
-                from .ops.colstream import colstream_literal_supported
-
-                needs_cs = colstream_literal_supported(nlen)
-            else:
-                needs_cs = colstream_supported(
-                    nlen, min(statics[0][0], nlen), statics[0][1]
-                )
-            buckets_T = (
-                tuple(
-                    b.device_arrays_colstream() for b in corpus.buckets
-                )
-                if needs_cs
-                else None
-            )
-            fin_cap = None
-            if needs_cs and (is_lit or not statics[0][1]):
-                # literal matching ignores the typo budget; its stage-1
-                # (and so its finalize cap) runs at T=0
-                fin_cap = _colstream_finalize_cap(
-                    corpus,
-                    np.concatenate([orig, flip])[None, :],
-                    len(corpus),
-                    typos=0 if is_lit else min(statics[0][0], nlen),
-                )
+            buckets_T, fin_cap, _perm = _colstream_blocks_and_cap(
+                corpus, statics, lens,
+                [np.concatenate(p[:2])[None, :] for p in pats_host],
+                len(corpus), single,
+            )  # perm is trivially identity at Q=1
             out = fused_match_sorted_batch(
                 buckets,
                 stacked,
@@ -974,29 +954,100 @@ def fuzzy_match_indices(
     return Matcher(needle, config, **kw).match_iter_indices(haystacks)
 
 
-def _colstream_finalize_cap(corpus, needles_np, fetch_rows, typos=0):
+def _colstream_blocks_and_cap(
+    corpus, statics, lens, needles_np, fetch_rows, single
+):
+    """(buckets_T, finalize_cap) for a fused serving group: transposed
+    corpus blocks when the column-stream kernels can serve the pattern
+    set, plus the host-chosen static capped-sort budget from the
+    stage-1-contributing patterns. ``needles_np`` holds one (Q, 2n)
+    host needle array per pattern; ``single`` marks the one-pattern
+    non-negated groups that may also take the row-major tier chain
+    (they run the batch fast path even without colstream blocks).
+
+    Returns (buckets_T, finalize_cap, perm): finalize_cap is the
+    STATIC (cap_blocks, n_sel) pair for the device finalize (None =
+    full sort) and perm (None = identity) is the selective-first query
+    reordering the caller must apply to its batch BEFORE stacking
+    needles — queries [0:n_sel] of that order take the capped sort,
+    the rest the full sort (the per-query mixed finalize)."""
+    from .ops.batch import (
+        FUZZY_MODE,
+        _pattern_s1_contributes,
+        colstream_eligible_all,
+    )
+    from .ops.colstream import (
+        colstream_literal_supported,
+        colstream_supported,
+    )
+
+    if single:
+        st = statics[0]
+        if st[4] != FUZZY_MODE:
+            needs_cs = colstream_literal_supported(lens[0])
+        else:
+            needs_cs = colstream_supported(
+                lens[0], min(st[0], lens[0]), st[1]
+            )
+    else:
+        needs_cs = colstream_eligible_all(statics, lens)
+    if not needs_cs:
+        return None, None, None
+    buckets_T = tuple(
+        b.device_arrays_colstream() for b in corpus.buckets
+    )
+    entries = []
+    for st, ln, nd in zip(statics, lens, needles_np):
+        if _pattern_s1_contributes(st, ln):
+            t = 0 if st[4] != FUZZY_MODE else min(st[0], ln)
+            entries.append((nd, t))
+    res = _colstream_finalize_cap(corpus, entries, fetch_rows)
+    if res is None:
+        return buckets_T, None, None
+    cap, n_sel, perm = res
+    return buckets_T, (cap, n_sel), perm
+
+
+def _colstream_finalize_cap(corpus, pattern_needles, fetch_rows):
     """STATIC capped-sort group budget for the in-place serving flow,
     chosen HOST-side: per-group stage-1 alive counts from the corpus's
-    NumPy block presence planes x the batch's needle need-matrix (the
-    exact math the device flags use, so the cap is sound). Returns the
-    smallest of {1/4, 1/2} of the total group count that covers every
-    query's alive groups, or None (full sort). Host-side because an
+    NumPy block presence planes x each contributing pattern's needle
+    need-matrix, AND-ed across patterns (the exact math the device
+    flags use — ops/batch._pattern_s1_contributes decides the list —
+    so the cap is sound). ``pattern_needles`` is a list of
+    (needles_np (Q, 2n), typos) pairs, one per contributing pattern.
+    Returns None (full sort for every query) or ``(cap_blocks, n_sel,
+    perm)``: the smallest of {1/4, 1/2} of the total group count such
+    that the first ``n_sel`` queries of the ``perm`` ordering
+    (selective-needles-first; perm None = identity) fit every alive
+    group within ``cap_blocks``. Queries past ``n_sel`` (broad needles
+    — e.g. common-particle unicode queries keeping ~94% of groups
+    alive) take the full result sort IN THE SAME BATCH (the per-query
+    mixed finalize); n_sel quantizes to multiples of 8 so the
+    (Q, n_sel) program-shape count stays small. Host-side because an
     in-program lax.cond around the capped gather+sort faults the TPU
     backend (see ops/batch finalize notes)."""
     from .ops.colstream import SUBL
     from .ops.presence import needle_need_matrix_np
 
     gr = SUBL * 128
-    need, tot = needle_need_matrix_np(needles_np)
-    alive_tot = np.zeros(needles_np.shape[0], np.int64)
+    if not pattern_needles:
+        return None
+    needs = [
+        (needle_need_matrix_np(nd), t) for nd, t in pattern_needles
+    ]
+    Q = pattern_needles[0][0].shape[0]
+    alive_tot = np.zeros(Q, np.int64)
     n_gtot = 0
     for b in corpus.buckets:
         blk = b.host_blk_bits().astype(np.int32)  # (nG, PLANES*128)
         n_g = blk.shape[0]
         n_gtot += n_g
         if b.cp.shape[1] <= 1024:  # colstream-served: real flags
-            hits = blk @ need  # (nG, Q)
-            alive_tot += (hits >= (tot - typos)[None, :]).sum(axis=0)
+            mask = np.ones((n_g, Q), bool)
+            for (need, tot), typos in needs:
+                mask &= (blk @ need) >= (tot - typos)[None, :]
+            alive_tot += mask.sum(axis=0)
         else:  # row-major fallback bucket: flags are all-ones
             alive_tot += n_g
     min_blocks = min(-(-fetch_rows // gr) + 1, n_gtot)
@@ -1005,8 +1056,18 @@ def _colstream_finalize_cap(corpus, needles_np, fetch_rows, typos=0):
     for div in (4, 2):
         cap = max(-(-n_gtot // div), min_blocks)
         if np.all(alive_tot <= cap):
-            return int(cap)
-    return None
+            return int(cap), Q, None
+    # mixed finalize: capped sort for the selective queries, full sort
+    # for the broad ones, one batch. Quantizing n_sel DOWN moves
+    # borderline queries to the (always-correct) full-sort side.
+    cap = max(-(-n_gtot // 2), min_blocks)
+    fit = alive_tot <= cap
+    gran = 8 if Q > 8 else 1
+    n_sel = (int(fit.sum()) // gran) * gran
+    if n_sel == 0:
+        return None
+    perm = np.argsort(~fit, kind="stable")
+    return int(cap), n_sel, perm
 
 
 def _yield_matches(index, score, exact, end_col, base=0):
@@ -1078,6 +1139,28 @@ def _dispatch_batch_groups(
     for (statics, _lens, use_kernel, bst), members in groups.items():
         buckets = prepared[members[0]][0]
         n_pat = len(statics)
+        # Transposed corpus blocks for the column-stream kernel: built
+        # (cached per corpus) only when this group's fast flow can take
+        # it (all patterns within the colstream needle/typo budgets)
+        buckets_T, fin_cap = (None, None)
+        if use_kernel and config.sort.is_by_score:
+            needles_np = [
+                np.stack([
+                    np.concatenate(prepared[i][1][p][:2])
+                    for i in members
+                ])
+                for p in range(n_pat)
+            ]
+            buckets_T, fin_cap, perm = _colstream_blocks_and_cap(
+                corpus, statics, list(_lens), needles_np,
+                min(fetch_rows, len(corpus)),
+                single=(n_pat == 1 and not statics[0][2]),
+            )
+            if perm is not None:
+                # mixed finalize: selective-needle queries first (the
+                # needle stack below follows); the members list carries
+                # the new order so result decode needs no un-permute
+                members = [members[j] for j in perm]
         stacked = tuple(
             tuple(
                 jnp.asarray(
@@ -1087,46 +1170,6 @@ def _dispatch_batch_groups(
             )
             for p in range(n_pat)
         )
-        # Transposed corpus blocks for the column-stream kernel: built
-        # (cached per corpus) only when this group's fast in-place flow
-        # can take it (single fuzzy pattern, needle/typo budget in range)
-        from .ops.batch import FUZZY_MODE
-        from .ops.colstream import (
-            colstream_literal_supported,
-            colstream_supported,
-        )
-
-        is_lit = statics[0][4] != FUZZY_MODE if n_pat == 1 else False
-        needs_cs = (
-            use_kernel
-            and n_pat == 1
-            and not statics[0][2]
-            and config.sort.is_by_score
-            and (
-                colstream_literal_supported(_lens[0])
-                if is_lit
-                else colstream_supported(
-                    _lens[0], min(statics[0][0], _lens[0]), statics[0][1]
-                )
-            )
-        )
-        buckets_T = (
-            tuple(b.device_arrays_colstream() for b in corpus.buckets)
-            if needs_cs
-            else None
-        )
-        fin_cap = None
-        if needs_cs and (is_lit or not statics[0][1]):
-            # literal ignores the typo budget: stage-1 and the finalize
-            # cap run at T=0
-            fin_cap = _colstream_finalize_cap(
-                corpus,
-                np.stack([
-                    np.concatenate(prepared[i][1][0][:2]) for i in members
-                ]),
-                min(fetch_rows, len(corpus)),
-                typos=0 if is_lit else min(statics[0][0], _lens[0]),
-            )
         out = fused_match_sorted_batch(
             buckets,
             stacked,

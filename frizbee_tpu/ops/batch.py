@@ -357,6 +357,25 @@ def fused_match_sorted_batch(
             finalize_cap=finalize_cap,
         )
 
+    # multi-pattern (or single-negated) serving through the skip-gated
+    # colstream kernels: stage-1-narrowed, columns-mode combine
+    if (
+        use_kernel
+        and sort_by_score
+        and len(pattern_statics) >= 1
+        and buckets_T is not None
+        and colstream_eligible_all(
+            pattern_statics,
+            tuple(p[0].shape[1] for p in stacked_patterns),
+        )
+    ):
+        return _fused_multi_batch_fast(
+            buckets, stacked_patterns, n=n,
+            pattern_statics=pattern_statics, unicode=unicode,
+            fetch_rows=fetch_rows, buckets_T=buckets_T,
+            finalize_cap=finalize_cap,
+        )
+
     fast_lit = (
         single and mode0 in (EXACT, PREFIX, SUFFIX, SUBSTRING)
     )
@@ -376,6 +395,188 @@ def fused_match_sorted_batch(
 
     _, outs = jax.lax.scan(body, jnp.int32(0), stacked_patterns)
     return outs
+
+
+def _keys_from_cols(matched, score, exact, end_col, greedy, idx,
+                    idx_bits):
+    """Pack kernel result columns into SINGLE int64 sort keys:
+    [(0xFFFF - score) | index | meta_low16] — the same layout the
+    colstream kernel's key-emit mode writes as int32 halves.
+
+    A single-operand sort is ~2x XLA:TPU's two-operand (key, payload)
+    sort (benchmarks/probe_sort64.py: int64 1-op == int32 1-op ==
+    ~0.5x the 2-op cost at serving shapes), and inv-score(16b) +
+    index(<=31b) + the non-score meta bits (16b) always fit 63 bits —
+    one layout for every corpus size. Ascending int64 order realizes
+    (matched first, score desc, index asc); unmatched rows carry
+    INT64_MAX."""
+    matched = matched & (idx >= 0)
+    meta = _pack_meta(
+        jnp.where(matched, score, 0),
+        matched & exact,
+        matched & greedy,
+        jnp.where(matched, end_col, 0),
+    )
+    cnt = jnp.sum(matched).astype(jnp.int32)
+    with jax.enable_x64(True):  # scoped: the only 64-bit region
+        k64 = (
+            ((0xFFFF - score).astype(jnp.int64) << (idx_bits + 16))
+            | (idx.astype(jnp.int64) << 16)
+            | (meta & 0xFFFF).astype(jnp.int64)
+        )
+        k64 = jnp.where(matched, k64, INT64_MAX)
+    return k64, cnt
+
+
+def _decode_keys(k64, idx_bits, idx_mask):
+    """[index, meta] from sorted int64 keys (sentinel rows are past
+    the count header, never read by the host)."""
+    with jax.enable_x64(True):
+        inv = jax.lax.shift_right_logical(
+            k64, jnp.int64(idx_bits + 16)
+        )
+        score = (0xFFFF - inv.astype(jnp.int32)) & 0xFFFF
+        index = (
+            jax.lax.shift_right_logical(k64, jnp.int64(16))
+            & idx_mask
+        ).astype(jnp.int32)
+        meta = (score << 16) | (k64 & 0xFFFF).astype(jnp.int32)
+    return index, meta
+
+
+def _finalize(keys, counts, *, presorted, flags_cat, Q, fetch_rows,
+              finalize_cap, idx_bits, idx_mask):
+    # (finalize_cap is a static of the enclosing jit)
+    # P3: ONE single-operand batched sort (skipped when the scan body
+    # already sorted per query), then decode [index, meta] rows.
+    # Keys embed the unique row index, so the order is total and the
+    # sort need not be stable.
+    #
+    # With per-group stage-1 flags (in-place colstream flow), dead
+    # groups hold only INT64_MAX sentinels — so the sort first
+    # gathers the ALIVE groups' keys to the front (a cheap batched
+    # block gather: ~1.5k groups of 8 KB rows) and sorts only a
+    # 1/4- or 1/2-capacity prefix when every query's alive groups
+    # fit. The (Q, total) full sort is the fallback; at chromium
+    # scale it alone costs ~2.5 ms/query.
+    from .colstream import SUBL
+
+    gr = SUBL * 128
+    if flags_cat is not None:
+        # a fetch window approaching half the corpus leaves nothing
+        # for the capped tiers to cut — take the plain full sort
+        if -(-fetch_rows // gr) + 1 >= -(-flags_cat.shape[1] // 2):
+            flags_cat = None
+    if presorted:
+        kc = keys
+    elif flags_cat is not None and finalize_cap:
+        # hi/lo int32 halves arrive SEPARATELY (keys is a (hi, lo)
+        # tuple): the combined (Q, total) int64 array plus its
+        # int32 bitcast copy cost ~540 MB at 1M x Q=32 and tipped
+        # the program plan over HBM — halves gather directly and
+        # only the capped selection ever materializes as int64.
+        # STATIC capacity, chosen by the dispatcher from HOST-side
+        # per-group alive counts (ops/presence.needle_need_matrix_np
+        # over corpus.host_blk_bits) — an in-program lax.cond around
+        # this gather+sort FAULTS the TPU backend (minimal repro:
+        # the cond-chained capped sort crashes the worker while the
+        # identical branch body runs clean called directly). The
+        # dispatcher guarantees every query's alive groups fit
+        # finalize_cap, so dropping the tail is exact.
+        from .colstream import block_gather
+
+        # finalize_cap: (cap_blocks, n_sel) — queries [0:n_sel] of the
+        # (dispatcher-reordered) batch are SELECTIVE: every alive group
+        # fits cap_blocks, so the capped gather+sort is exact for them.
+        # Queries [n_sel:] are BROAD (e.g. common-particle unicode
+        # needles keeping ~94% of groups alive) and take the full
+        # per-row sort in the same batch — the per-query mixed
+        # finalize. A bare int means every query is selective.
+        cap_blocks, n_sel = (
+            finalize_cap if isinstance(finalize_cap, tuple)
+            else (finalize_cap, Q)
+        )
+        n_sel = min(n_sel, Q)
+        nGtot = flags_cat.shape[1]
+        cap_blocks = min(cap_blocks, nGtot)
+        hi, lo = keys
+        interp = jax.default_backend() != "tpu"
+        parts = []
+        if n_sel > 0:
+            # Pallas block gather on the int32 bit-halves: XLA's batched
+            # block take_along_axis FAULTS the TPU worker at some
+            # serving shapes (round-4 minimal repro), so the alive-first
+            # groups DMA through our own copy kernel. Built OUTSIDE the
+            # x64 scope: an index map traced under enable_x64 emits i64
+            # block indices Mosaic won't legalize.
+            order = jnp.argsort(
+                1 - flags_cat[:n_sel], axis=1, stable=True
+            )[:, :cap_blocks]
+            qbase = jax.lax.broadcasted_iota(
+                jnp.int32, (n_sel, cap_blocks), 0
+            ) * nGtot
+            rows = (qbase + order).reshape(-1)
+            g_hi = block_gather(
+                hi[:n_sel].reshape(n_sel * nGtot, gr), rows,
+                interpret=interp,
+            ).reshape(n_sel, cap_blocks * gr)
+            g_lo = block_gather(
+                lo[:n_sel].reshape(n_sel * nGtot, gr), rows,
+                interpret=interp,
+            ).reshape(n_sel, cap_blocks * gr)
+            with jax.enable_x64(True):
+                sel = (
+                    (g_hi.astype(jnp.int64) << 32)
+                    | (g_lo.astype(jnp.int64) & 0xFFFFFFFF)
+                )
+                kc_s = jax.lax.sort(
+                    sel, dimension=1, is_stable=False
+                )[:, :fetch_rows]
+                if cap_blocks * gr < fetch_rows:
+                    kc_s = jnp.pad(
+                        kc_s,
+                        ((0, 0), (0, fetch_rows - cap_blocks * gr)),
+                        constant_values=INT64_MAX,
+                    )
+            parts.append(kc_s)
+        if n_sel < Q:
+            with jax.enable_x64(True):
+                kb = (
+                    (hi[n_sel:].astype(jnp.int64) << 32)
+                    | (lo[n_sel:].astype(jnp.int64) & 0xFFFFFFFF)
+                )
+                kc_b = jax.lax.sort(
+                    kb, dimension=1, is_stable=False
+                )[:, :fetch_rows]
+                if kc_b.shape[1] < fetch_rows:
+                    kc_b = jnp.pad(
+                        kc_b,
+                        ((0, 0), (0, fetch_rows - kc_b.shape[1])),
+                        constant_values=INT64_MAX,
+                    )
+            parts.append(kc_b)
+        kc = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    else:
+        if isinstance(keys, tuple):
+            hi, lo = keys
+            with jax.enable_x64(True):
+                keys = (
+                    (hi.astype(jnp.int64) << 32)
+                    | (lo.astype(jnp.int64) & 0xFFFFFFFF)
+                )
+        kc = jax.lax.sort(keys, dimension=1, is_stable=False)
+    kc = kc[:, :fetch_rows]
+    index, metas = _decode_keys(kc, idx_bits, idx_mask)
+    rows = jnp.stack([index, metas], axis=2)
+    if rows.shape[1] < fetch_rows:
+        rows = jnp.pad(
+            rows, ((0, 0), (0, fetch_rows - rows.shape[1]), (0, 0))
+        )
+    header = jnp.concatenate(
+        [counts[:, None, None],
+         jnp.zeros((Q, 1, 1), jnp.int32)], axis=2,
+    )
+    return jnp.concatenate([header, rows], axis=1)
 
 
 def _fused_match_batch_fast(
@@ -470,54 +671,15 @@ def _fused_match_batch_fast(
         return out.reshape(rows, 8)
 
     def keys_from_cols(matched, score, exact, end_col, greedy, idx):
-        """Pack one bucket's kernel results into SINGLE int64 sort keys:
-        [(0xFFFF - score) | index | meta_low16] — the same layout the
-        colstream kernel's key-emit mode writes as int32 halves.
-
-        A single-operand sort is ~2x XLA:TPU's two-operand (key, payload)
-        sort (benchmarks/probe_sort64.py: int64 1-op == int32 1-op ==
-        ~0.5x the 2-op cost at serving shapes), and inv-score(16b) +
-        index(<=31b) + the non-score meta bits (16b) always fit 63 bits —
-        one layout for every corpus size. Ascending int64 order realizes
-        (matched first, score desc, index asc); unmatched rows carry
-        INT64_MAX."""
-        matched = matched & (idx >= 0)
-        meta = _pack_meta(
-            jnp.where(matched, score, 0),
-            matched & exact,
-            matched & greedy,
-            jnp.where(matched, end_col, 0),
+        return _keys_from_cols(
+            matched, score, exact, end_col, greedy, idx, idx_bits
         )
-        cnt = jnp.sum(matched).astype(jnp.int32)
-        with jax.enable_x64(True):  # scoped: the only 64-bit region
-            k64 = (
-                ((0xFFFF - score).astype(jnp.int64) << (idx_bits + 16))
-                | (idx.astype(jnp.int64) << 16)
-                | (meta & 0xFFFF).astype(jnp.int64)
-            )
-            k64 = jnp.where(matched, k64, INT64_MAX)
-        return k64, cnt
 
     def keys_from(out8, idx):
         return keys_from_cols(
             out8[:, 0] > 0, out8[:, 1], out8[:, 2] > 0, out8[:, 3],
             out8[:, 4] > 0, idx,
         )
-
-    def decode_keys(k64):
-        """[index, meta] from sorted int64 keys (sentinel rows are past
-        the count header, never read by the host)."""
-        with jax.enable_x64(True):
-            inv = jax.lax.shift_right_logical(
-                k64, jnp.int64(idx_bits + 16)
-            )
-            score = (0xFFFF - inv.astype(jnp.int32)) & 0xFFFF
-            index = (
-                jax.lax.shift_right_logical(k64, jnp.int64(16))
-                & idx_mask
-            ).astype(jnp.int32)
-            meta = (score << 16) | (k64 & 0xFFFF).astype(jnp.int32)
-        return index, meta
 
     def sort_in_body(total):
         """True when the batched finalize sort's operands would exceed
@@ -537,103 +699,11 @@ def _fused_match_batch_fast(
         return kc, cnt
 
     def finalize(keys, counts, presorted, flags_cat=None):
-        # (finalize_cap is a static of the enclosing jit)
-        # P3: ONE single-operand batched sort (skipped when the scan body
-        # already sorted per query), then decode [index, meta] rows.
-        # Keys embed the unique row index, so the order is total and the
-        # sort need not be stable.
-        #
-        # With per-group stage-1 flags (in-place colstream flow), dead
-        # groups hold only INT64_MAX sentinels — so the sort first
-        # gathers the ALIVE groups' keys to the front (a cheap batched
-        # block gather: ~1.5k groups of 8 KB rows) and sorts only a
-        # 1/4- or 1/2-capacity prefix when every query's alive groups
-        # fit. The (Q, total) full sort is the fallback; at chromium
-        # scale it alone costs ~2.5 ms/query.
-        from .colstream import SUBL
-
-        gr = SUBL * 128
-        if flags_cat is not None:
-            # a fetch window approaching half the corpus leaves nothing
-            # for the capped tiers to cut — take the plain full sort
-            if -(-fetch_rows // gr) + 1 >= -(-flags_cat.shape[1] // 2):
-                flags_cat = None
-        if presorted:
-            kc = keys
-        elif flags_cat is not None and finalize_cap:
-            # hi/lo int32 halves arrive SEPARATELY (keys is a (hi, lo)
-            # tuple): the combined (Q, total) int64 array plus its
-            # int32 bitcast copy cost ~540 MB at 1M x Q=32 and tipped
-            # the program plan over HBM — halves gather directly and
-            # only the capped selection ever materializes as int64.
-            # STATIC capacity, chosen by the dispatcher from HOST-side
-            # per-group alive counts (ops/presence.needle_need_matrix_np
-            # over corpus.host_blk_bits) — an in-program lax.cond around
-            # this gather+sort FAULTS the TPU backend (minimal repro:
-            # the cond-chained capped sort crashes the worker while the
-            # identical branch body runs clean called directly). The
-            # dispatcher guarantees every query's alive groups fit
-            # finalize_cap, so dropping the tail is exact.
-            from .colstream import block_gather
-
-            nGtot = flags_cat.shape[1]
-            cap_blocks = min(finalize_cap, nGtot)
-            # Pallas block gather on the int32 bit-halves: XLA's batched
-            # block take_along_axis FAULTS the TPU worker at some
-            # serving shapes (round-4 minimal repro), so the alive-first
-            # groups DMA through our own copy kernel. Built OUTSIDE the
-            # x64 scope: an index map traced under enable_x64 emits i64
-            # block indices Mosaic won't legalize.
-            order = jnp.argsort(
-                1 - flags_cat, axis=1, stable=True
-            )[:, :cap_blocks]
-            hi, lo = keys
-            qbase = jax.lax.broadcasted_iota(
-                jnp.int32, (Q, cap_blocks), 0
-            ) * nGtot
-            rows = (qbase + order).reshape(-1)
-            interp = jax.default_backend() != "tpu"
-            g_hi = block_gather(
-                hi.reshape(Q * nGtot, gr), rows, interpret=interp
-            ).reshape(Q, cap_blocks * gr)
-            g_lo = block_gather(
-                lo.reshape(Q * nGtot, gr), rows, interpret=interp
-            ).reshape(Q, cap_blocks * gr)
-            with jax.enable_x64(True):
-                sel = (
-                    (g_hi.astype(jnp.int64) << 32)
-                    | (g_lo.astype(jnp.int64) & 0xFFFFFFFF)
-                )
-                kc = jax.lax.sort(
-                    sel, dimension=1, is_stable=False
-                )[:, :fetch_rows]
-                if cap_blocks * gr < fetch_rows:
-                    kc = jnp.pad(
-                        kc,
-                        ((0, 0), (0, fetch_rows - cap_blocks * gr)),
-                        constant_values=INT64_MAX,
-                    )
-        else:
-            if isinstance(keys, tuple):
-                hi, lo = keys
-                with jax.enable_x64(True):
-                    keys = (
-                        (hi.astype(jnp.int64) << 32)
-                        | (lo.astype(jnp.int64) & 0xFFFFFFFF)
-                    )
-            kc = jax.lax.sort(keys, dimension=1, is_stable=False)
-        kc = kc[:, :fetch_rows]
-        index, metas = decode_keys(kc)
-        rows = jnp.stack([index, metas], axis=2)
-        if rows.shape[1] < fetch_rows:
-            rows = jnp.pad(
-                rows, ((0, 0), (0, fetch_rows - rows.shape[1]), (0, 0))
-            )
-        header = jnp.concatenate(
-            [counts[:, None, None],
-             jnp.zeros((Q, 1, 1), jnp.int32)], axis=2,
+        return _finalize(
+            keys, counts, presorted=presorted, flags_cat=flags_cat,
+            Q=Q, fetch_rows=fetch_rows, finalize_cap=finalize_cap,
+            idx_bits=idx_bits, idx_mask=idx_mask,
         )
-        return jnp.concatenate([header, rows], axis=1)
 
     # Column-stream dispatch: the transposed kernel runs ~5-10x the
     # row-major kernel per row (benchmarks/probe_colstream_tpu.py) when
@@ -969,6 +1039,204 @@ def _fused_match_batch_fast(
 
     return jax.lax.cond(
         jnp.sum(survivors) == 0, empty_flow, full_path, survivors
+    )
+
+
+def colstream_eligible_all(pattern_statics, needle_lens) -> bool:
+    """True when EVERY pattern in a multi-pattern group fits the
+    column-stream kernel (fuzzy needle/typo budget in range, or literal
+    needle in range) — the gate for the multi-pattern fast path. Shared
+    with the dispatcher (matcher.py) so routing and block building
+    can't diverge."""
+    for st, ln in zip(pattern_statics, needle_lens):
+        typos, nopre, _neg, _sc, mode, _nbl = st
+        if ln < 1:
+            return False
+        if mode == FUZZY_MODE:
+            if not colstream_supported(ln, min(int(typos), ln), nopre):
+                return False
+        elif mode in (EXACT, PREFIX, SUFFIX, SUBSTRING):
+            if not colstream_literal_supported(ln):
+                return False
+        else:  # pragma: no cover
+            return False
+    return True
+
+
+def _pattern_s1_contributes(st, nlen) -> bool:
+    """Whether a pattern's stage-1 presence flags narrow the combined
+    group-alive set: non-negated, and its prefilter actually rejects
+    (literal always can at T=0; fuzzy needs a budget below the needle
+    length). MUST match the host cap chooser
+    (matcher._colstream_finalize_cap) exactly — the static capacity is
+    sound only if host and device compute the same alive sets."""
+    typos, nopre, neg, _sc, mode, _nbl = st
+    if neg:
+        return False
+    if mode != FUZZY_MODE:
+        return nlen > 0
+    T = min(int(typos), nlen)
+    return (not nopre) and nlen > T
+
+
+def _fused_multi_batch_fast(
+    buckets,
+    stacked_patterns,  # per pattern (orig (Q,n_p), flip (Q,n_p), sc)
+    *,
+    n: int,
+    pattern_statics: Tuple,
+    unicode: bool,
+    fetch_rows: int,
+    buckets_T,
+    finalize_cap=None,
+):
+    """Q-batched MULTI-pattern serving over the column-stream kernels.
+
+    The reference narrows survivors between patterns — the first
+    pattern runs over all haystacks, later ones only over its gathered
+    survivors (reference: src/matcher/multi.rs:84-152). On this backend
+    a per-row survivor gather costs ~21 ns/row while the skip-gated
+    colstream kernel's whole pass costs ~4-8 ns/row
+    (benchmarks/probe_xla*.jsonl), so narrowing moves UP to stage-1:
+    the per-group alive flags are the AND of every contributing
+    (non-negated, prefiltering) pattern's presence flags — a group dead
+    for ANY such pattern can hold no combined match — and every
+    pattern's kernel runs in-place over the same skip-gated blocks in
+    columns mode. Result columns combine per the multi-pattern model
+    (non-negated scores sum saturating u16, exact ORs, end_col maxes,
+    greedy ORs, negated patterns veto), pack into the shared int32 key
+    halves, and take the same capped block-gather finalize as the
+    single-pattern fast path.
+    """
+    Q = stacked_patterns[0][0].shape[0]
+    idx_bits = max((n - 1).bit_length(), 1)
+    idx_mask = (1 << idx_bits) - 1
+    cs_interpret = jax.default_backend() != "tpu"
+
+    if not buckets:
+        return jnp.zeros((Q, 1 + fetch_rows, 2), jnp.int32)
+    assert buckets_T is not None
+
+    infos = []
+    for (orig_q, flip_q, _sc), st in zip(stacked_patterns,
+                                         pattern_statics):
+        typos, nopre, neg, scoring, mode, nbl = st
+        nlen = orig_q.shape[1]
+        T = 0 if mode != FUZZY_MODE else min(int(typos), nlen)
+        infos.append({
+            "needles": jnp.concatenate(
+                [orig_q, flip_q], axis=1
+            ).astype(jnp.int32),
+            "T": T, "mode": mode, "nbl": nbl, "scoring": scoring,
+            "neg": neg, "nopre": nopre, "nlen": nlen,
+            "s1": _pattern_s1_contributes(st, nlen),
+        })
+
+    # combined per-group stage-1 flags: AND over contributing patterns
+    flags_T = None
+    if any(i["s1"] for i in infos):
+        needs = [
+            (needle_need_matrix(i["needles"]), i["T"])
+            for i in infos if i["s1"]
+        ]
+        flags_T = []
+        for bi in range(len(buckets)):
+            blk_bits = buckets_T[bi][3]
+            f = jnp.ones((Q, blk_bits.shape[0]), jnp.int32)
+            for (need, tot), t_p in needs:
+                hits = jax.lax.dot_general(
+                    blk_bits, need, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )  # (nG, Q)
+                f = f & (hits >= (tot - t_p)[None, :]).T.astype(
+                    jnp.int32
+                )
+            flags_T.append(f)
+
+    total = sum(bt[2].shape[0] for bt in buckets_T)
+    in_body = Q * total * 2 > SORT_BODY_BUDGET
+
+    def body(carry, xs):
+        needle_qs = xs[: len(infos)]
+        fls = xs[len(infos):]
+        his, los, counts = [], [], []
+        for bi, b in enumerate(buckets):
+            B, W = b[0].shape
+            cpT, nuT, idxT, _bb = buckets_T[bi]
+            idx_flat = idxT.reshape(-1)
+            fl = fls[bi] if flags_T is not None else None
+            cm = idx_flat >= 0
+            cs = jnp.zeros_like(idx_flat)
+            ce = jnp.zeros(idx_flat.shape, jnp.bool_)
+            cec = jnp.zeros_like(idx_flat)
+            cg = jnp.zeros(idx_flat.shape, jnp.bool_)
+            for pi, info in enumerate(infos):
+                m, s, e, ec, g = match_units_colstream(
+                    cpT, nuT,
+                    pack_needle_scalars(needle_qs[pi], B),
+                    fl, None,
+                    W=W, n=info["nlen"], max_typos=info["T"],
+                    scoring=info["scoring"], unicode=unicode,
+                    no_prefilter=info["nopre"],
+                    interpret=cs_interpret,
+                    mode=(
+                        "fuzzy" if info["mode"] == FUZZY_MODE
+                        else info["mode"]
+                    ),
+                    needle_byte_len=info["nbl"],
+                )
+                mb = m > 0
+                if info["neg"]:
+                    cm = cm & ~mb
+                else:
+                    cm = cm & mb
+                    cs = jnp.minimum(
+                        cs + jnp.where(mb, s, 0), 0xFFFF
+                    )
+                    ce = ce | ((e > 0) & mb)
+                    cec = jnp.maximum(cec, jnp.where(mb, ec, 0))
+                    cg = cg | ((g > 0) & mb)
+            key, cnt = _keys_from_cols(
+                cm, cs, ce, cec, cg, idx_flat, idx_bits
+            )
+            with jax.enable_x64(True):
+                his.append(
+                    jax.lax.shift_right_logical(
+                        key, jnp.int64(32)
+                    ).astype(jnp.int32)
+                )
+                los.append((key & 0xFFFFFFFF).astype(jnp.int32))
+            counts.append(cnt)
+        hi_cat = jnp.concatenate(his)
+        lo_cat = jnp.concatenate(los)
+        cnt = jnp.sum(jnp.stack(counts), dtype=jnp.int32)
+        if in_body:
+            with jax.enable_x64(True):
+                kc = (
+                    (hi_cat.astype(jnp.int64) << 32)
+                    | (lo_cat.astype(jnp.int64) & 0xFFFFFFFF)
+                )
+                kc = jax.lax.sort(kc, is_stable=False)[:fetch_rows]
+            return carry, (kc, cnt)
+        return carry, (hi_cat, lo_cat, cnt)
+
+    xs = tuple(i["needles"] for i in infos) + (
+        tuple(flags_T) if flags_T is not None else ()
+    )
+    if in_body:
+        _, (keys, counts) = jax.lax.scan(body, jnp.int32(0), xs)
+    else:
+        _, (hi_s, lo_s, counts) = jax.lax.scan(body, jnp.int32(0), xs)
+        keys = (hi_s, lo_s)
+    return _finalize(
+        keys, counts, presorted=in_body,
+        flags_cat=(
+            jnp.concatenate(flags_T, axis=1)
+            if flags_T is not None and not in_body
+            else None
+        ),
+        Q=Q, fetch_rows=fetch_rows, finalize_cap=finalize_cap,
+        idx_bits=idx_bits, idx_mask=idx_mask,
     )
 
 

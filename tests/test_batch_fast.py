@@ -233,6 +233,73 @@ def test_fast_literal_topk(corpus_partial):
     )
 
 
+def test_fast_multi_pattern_serving_parity(corpus_partial):
+    """Multi-pattern queries ride the stage-1-narrowed colstream fast
+    path (round-5): AND-ed group flags, per-pattern columns-mode
+    kernels, device combine, capped finalize. Mixes fuzzy, literal
+    atoms, and negation at serving scale."""
+    _assert_query_parity(
+        corpus_partial,
+        ["dead beef", "dead !beef", "'dead beef", "^de ad", "!dead !beef"],
+        Config(),
+    )
+    _assert_query_parity(
+        corpus_partial, ["dead beef", "daed beef"], Config(max_typos=1)
+    )
+
+
+def test_fast_multi_pattern_topk(corpus_partial):
+    _assert_query_parity(
+        corpus_partial, ["dead beef", "ea be"], Config(), k=40
+    )
+
+
+def test_fast_multi_pattern_unicode():
+    hay = unicode_corpus(
+        "arabic", num_samples=4200, median_units=18, needle="إن",
+        seed=9,
+    )
+    corpus = pack_corpus(hay, unicode=True)
+    _assert_query_parity(corpus, ["إن ن", "إن !م"], Config())
+
+
+def test_mixed_finalize_parity():
+    """Per-query mixed finalize (round-5): a batch mixing selective
+    needles (alive groups fit the capped sort) with broad needles
+    (most groups alive -> full per-row sort) must split at a static
+    n_sel and stay bit-equal to the oracle."""
+    rng = np.random.default_rng(21)
+    c1 = [
+        "".join(rng.choice(list("abcdef"), 20)) + "0123"
+        for _ in range(4000)
+    ]
+    c2 = [
+        "".join(rng.choice(list("uvwxyz"), 20)) + "0123"
+        for _ in range(12000)
+    ]
+    corpus = pack_corpus(c1 + c2, unicode=False)
+
+    # white-box: the host cap chooser must pick a mixed split for this
+    # (selective, broad) pair
+    from frizbee_tpu.matcher import _colstream_finalize_cap
+
+    def nd(q):
+        o = np.frombuffer(q.encode(), np.uint8).astype(np.int32)
+        f = np.where((o >= 97) & (o <= 122), o - 32, o)
+        return np.concatenate([o, f])
+
+    res = _colstream_finalize_cap(
+        corpus, [(np.stack([nd("beef"), nd("0123")]), 0)], 40
+    )
+    assert res is not None
+    cap, n_sel, perm = res
+    assert n_sel == 1 and list(perm) == [0, 1]
+
+    _assert_query_parity(corpus, ["beef", "0123"], Config(), k=40)
+    # broad-first input order exercises the perm reorder
+    _assert_query_parity(corpus, ["0123", "beef"], Config(), k=40)
+
+
 def test_fast_empty_batch_short_circuit():
     """A batch where no query has any stage-1 survivor must produce empty
     results through the short-circuit flow, identically to the oracle."""
