@@ -1072,13 +1072,23 @@ def _colstream_finalize_cap(corpus, pattern_needles, fetch_rows):
 
 def _yield_matches(index, score, exact, end_col, base=0):
     """Yield Match objects in input (index-ascending) order from result
-    columns. Column-to-list conversion happens ONCE (C loop) — per-item
-    numpy scalar conversion costs ~10x a slotted-dataclass construction
-    and dominated the iterator row before this."""
+    columns. With the fastmatch extension the whole column->object
+    conversion is ONE C loop (~60 ns/object); the fallback still
+    amortizes numpy-scalar unboxing via tolist()."""
+    from .types import build_matches
+
     order = np.argsort(index, kind="stable")
     idx = index[order]
     if base:
         idx = idx + base
+    if build_matches is not None:
+        yield from build_matches(
+            np.ascontiguousarray(idx, np.int64),
+            np.ascontiguousarray(score[order], np.int64),
+            np.ascontiguousarray(exact[order], np.uint8),
+            np.ascontiguousarray(end_col[order], np.int64),
+        )
+        return
     idx_l = idx.tolist()
     sc_l = score[order].tolist()
     ex_l = exact[order].tolist()

@@ -45,6 +45,56 @@ _LOCK = threading.Lock()
 _lib = None
 _tried = False
 
+_FASTMATCH_SRC = os.path.join(os.path.dirname(__file__), "fastmatch.c")
+_fastmatch = None
+_fastmatch_tried = False
+
+
+def get_fastmatch():
+    """The fastmatch CPython extension (C ``Match`` type + bulk list
+    builder — see fastmatch.c), or None when disabled
+    (FRIZBEE_TPU_NO_NATIVE=1) or unbuildable; types.py keeps the
+    dataclass as the fallback and the behavioral oracle."""
+    global _fastmatch, _fastmatch_tried
+    if os.environ.get("FRIZBEE_TPU_NO_NATIVE") == "1":
+        return None
+    if _fastmatch_tried:
+        return _fastmatch
+    with _LOCK:
+        if _fastmatch_tried:
+            return _fastmatch
+        try:
+            import importlib.util
+            import sysconfig
+
+            os.makedirs(_CACHE, exist_ok=True)
+            tag = sysconfig.get_config_var("SOABI") or "py3"
+            so = os.path.join(_CACHE, f"fastmatch.{tag}.so")
+            src_mtime = os.path.getmtime(_FASTMATCH_SRC)
+            if not (
+                os.path.exists(so)
+                and os.path.getmtime(so) >= src_mtime
+            ):
+                inc = sysconfig.get_paths()["include"]
+                cmd = [
+                    "gcc", "-O2", "-shared", "-fPIC", f"-I{inc}",
+                    _FASTMATCH_SRC, "-o", so + ".tmp",
+                ]
+                subprocess.run(
+                    cmd, check=True, capture_output=True, timeout=120
+                )
+                os.replace(so + ".tmp", so)
+            spec = importlib.util.spec_from_file_location(
+                "frizbee_tpu.native.fastmatch", so
+            )
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            _fastmatch = mod
+        except Exception:
+            _fastmatch = None
+        _fastmatch_tried = True
+        return _fastmatch
+
 
 def _build() -> Optional[str]:
     os.makedirs(_CACHE, exist_ok=True)

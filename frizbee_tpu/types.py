@@ -13,6 +13,14 @@ from typing import List
 
 @dataclass(slots=True)
 class Match:
+    """Pure-Python Match — the behavioral oracle for the C extension
+    type (native/fastmatch.c) and the fallback when no toolchain is
+    available (or FRIZBEE_TPU_NO_NATIVE=1). The module-level ``Match``
+    name rebinds to the C type when it loads (see module bottom);
+    construction there costs ~60 ns vs ~400 ns here, which dominates
+    iterator/list consumers (the reference yields Copy structs for
+    free, src/matcher/iter.rs:19-141)."""
+
     score: int = 0
     index: int = 0
     exact: bool = False
@@ -92,6 +100,15 @@ class MatchList(Sequence):
         )
 
     def __iter__(self):
+        if build_matches is not None:
+            import numpy as np
+
+            return iter(build_matches(
+                np.ascontiguousarray(self._index, np.int64),
+                np.ascontiguousarray(self._score, np.int64),
+                np.ascontiguousarray(self._exact, np.uint8),
+                np.ascontiguousarray(self._end_col, np.int64),
+            ))
         # tolist() amortizes the numpy-scalar unboxing across the sweep
         return (
             Match(s, i, x, e)
@@ -156,3 +173,23 @@ class MatchIndices:
 
     def __lt__(self, other: "MatchIndices") -> bool:
         return self.sort_key() < other.sort_key()
+
+
+# ---- C extension Match (native/fastmatch.c) --------------------------------
+# The dataclass above stays as PY_MATCH: the behavioral oracle
+# (tests/test_types_fastmatch.py pins the two) and the fallback when the
+# toolchain is unavailable or FRIZBEE_TPU_NO_NATIVE=1. build_matches is
+# the bulk column->list constructor used by MatchList.__iter__ and the
+# iterator APIs (None under the fallback).
+PY_MATCH = Match
+build_matches = None
+try:
+    from .native import get_fastmatch as _get_fastmatch
+
+    _fm = _get_fastmatch()
+except Exception:  # pragma: no cover — import-time defensive only
+    _fm = None
+if _fm is not None:
+    Match = _fm.Match
+    build_matches = _fm.build_matches
+del _fm
