@@ -213,6 +213,9 @@ def bench_config(name, haystacks, needle, config, n_queries=8, k=2048,
         "reference_haystacks_per_sec": round(ref_hps) if ref_hps else None,
         "vs_reference": round(hps / ref_hps, 3) if ref_hps else None,
         "pct_hbm_roofline": pct_roofline,
+        # tenant-phase provenance: the shared device's sustained rate
+        # swings ~2-3x on hour scales; compare rows within one window
+        "measured_at": time.strftime("%Y-%m-%d %H:%M"),
     }
     print(json.dumps(row), flush=True)
     return row
@@ -406,12 +409,35 @@ def main():
                 m = Matcher("linux", Config())
                 corpus_ch = pack_corpus(chromium, unicode=False)
                 sum(1 for _ in m.match_iter(corpus_ch))  # warm compiles
+                best = None
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    n_m = sum(1 for _ in m.match_iter(corpus_ch))
+                    d = time.perf_counter() - t0
+                    best = d if best is None else min(best, d)
+                dt = best
+                # link budget: the row is bound by shipping every match
+                # row over the tunnel (probe_latency_budget.py measures
+                # rtt/bw); engine_side_hps removes that transport to
+                # estimate the PCIe-deployment rate
+                import jax.numpy as jnp
+
+                small = jnp.zeros((1,), jnp.int32) + 1
+                np.asarray(small)
                 t0 = time.perf_counter()
-                n_m = sum(1 for _ in m.match_iter(corpus_ch))
-                dt = time.perf_counter() - t0
+                for _ in range(3):
+                    np.asarray(small + 1)
+                rtt = (time.perf_counter() - t0) / 3
+                big = jnp.zeros((1 << 20,), jnp.int32) + 1
+                np.asarray(big)
+                t0 = time.perf_counter()
+                np.asarray(big + 1)
+                bw = (4 << 20) / max(time.perf_counter() - t0 - rtt, 1e-6)
+                link_s = 2 * rtt + (n_m + 8193) * 8 / bw
                 ref = 100_000 / (REFERENCE_MS_100K["chromium_like_iter"]
                                  / 1e3)
                 hps = round(len(chromium) / dt)
+                eng = round(len(chromium) / max(dt - link_s, 1e-9))
                 rows.append({
                     "config": "chromium_like_iter",
                     "haystacks": len(chromium), "matches": n_m,
@@ -420,6 +446,9 @@ def main():
                     "haystacks_per_sec_serving": hps,
                     "reference_haystacks_per_sec": round(ref),
                     "vs_reference": round(hps / ref, 3),
+                    "link_ms_est": round(link_s * 1e3, 1),
+                    "engine_side_hps_est": eng,
+                    "engine_side_vs_reference": round(eng / ref, 3),
                 })
                 print(json.dumps(rows[-1]), flush=True)
                 _persist(rows)
@@ -534,7 +563,15 @@ def _persist(rows):
             "compare touches <=8 bytes/row; multi_pattern_64 = Partial "
             "Match len-64 x 1.25 (pattern 1 over all rows + survivor "
             "re-match over the 25% containing it, "
-            "src/matcher/multi.rs:84-152).\n\nVs the reference's "
+            "src/matcher/multi.rs:84-152). chromium_like_iter iterates "
+            "a resident Corpus; on this harness it is link-bound "
+            "(every match row ships over the ~26 ms RTT / ~30 MB/s "
+            "tunnel) — link_ms_est and engine_side_hps_est in "
+            "results.jsonl carry the measured link subtraction, the "
+            "PCIe-deployment estimate. Every row carries measured_at "
+            "(results.jsonl): the shared device's sustained rate swings "
+            "~2-3x between tenant phases, so only rows from one window "
+            "compare at better than ~2x.\n\nVs the reference's "
             "PUBLISHED 8-THREAD rows (its real deployment mode; "
             "BENCHMARKS.md:65/85/105 — Chromium 404M, Arabic 594M, "
             "Korean 589M haystacks/s), this single chip serves "
