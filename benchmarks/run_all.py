@@ -117,8 +117,14 @@ VARIANTS = [
     "dbeefdea", "ebdaefde", "faceb00c", "deedbeaf",
 ]
 UNICODE_VARIANTS = {
-    "إن": ["إن", "لا", "ما", "في", "من", "هل", "ان", "نم"],
-    "니다": ["니다", "하다", "있다", "없다", "보다", "가다", "오다", "주다"],
+    # 16 two-char variants per script so the unicode rows serve the same
+    # Q=16 batch as every other row (8 left the per-batch fixed costs —
+    # sorts, scan machinery, dispatch — half-amortized: measured 2.1 ->
+    # 1.2 ms/q going 8 -> 16 on the arabic profile)
+    "إن": ["إن", "لا", "ما", "في", "من", "هل", "ان", "نم",
+           "إذ", "لم", "لن", "كي", "قد", "بل", "أو", "ثم"],
+    "니다": ["니다", "하다", "있다", "없다", "보다", "가다", "오다", "주다",
+           "사다", "살다", "쓰다", "자다", "차다", "타다", "크다", "따다"],
 }
 PATH_VARIANTS = ["linux", "winux", "lunix", "xinul", "nilux", "uxlin",
                  "inlux", "xunil"]

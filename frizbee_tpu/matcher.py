@@ -1008,6 +1008,11 @@ def _colstream_blocks_and_cap(
     return buckets_T, (cap, n_sel), perm
 
 
+# Mixed-finalize group-count gate: see the comment inside
+# _colstream_finalize_cap (measured A/B on the arabic profile)
+MIXED_FINALIZE_MIN_GROUPS = 512
+
+
 def _colstream_finalize_cap(corpus, pattern_needles, fetch_rows):
     """STATIC capped-sort group budget for the in-place serving flow,
     chosen HOST-side: per-group stage-1 alive counts from the corpus's
@@ -1060,6 +1065,14 @@ def _colstream_finalize_cap(corpus, pattern_needles, fetch_rows):
     # mixed finalize: capped sort for the selective queries, full sort
     # for the broad ones, one batch. Quantizing n_sel DOWN moves
     # borderline queries to the (always-correct) full-sort side.
+    # Only worth it at scale: below ~512 groups (~500k rows) the full
+    # batched sort costs about the same as the flag-argsort + block
+    # gather + capped sort it would replace (measured A/B on the
+    # 306-group arabic corpus: 1.5-1.7 ms/q either way), so smaller
+    # corpora skip the extra program shapes. (Module constant so tests
+    # exercise the split on small corpora.)
+    if n_gtot < MIXED_FINALIZE_MIN_GROUPS:
+        return None
     cap = max(-(-n_gtot // 2), min_blocks)
     fit = alive_tot <= cap
     gran = 8 if Q > 8 else 1

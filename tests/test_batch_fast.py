@@ -280,7 +280,10 @@ def test_mixed_finalize_parity():
     corpus = pack_corpus(c1 + c2, unicode=False)
 
     # white-box: the host cap chooser must pick a mixed split for this
-    # (selective, broad) pair
+    # (selective, broad) pair (group-count gate lowered: the split is
+    # only ENABLED at >=512 groups in production, see
+    # matcher.MIXED_FINALIZE_MIN_GROUPS)
+    import frizbee_tpu.matcher as fmatch
     from frizbee_tpu.matcher import _colstream_finalize_cap
 
     def nd(q):
@@ -288,16 +291,21 @@ def test_mixed_finalize_parity():
         f = np.where((o >= 97) & (o <= 122), o - 32, o)
         return np.concatenate([o, f])
 
-    res = _colstream_finalize_cap(
-        corpus, [(np.stack([nd("beef"), nd("0123")]), 0)], 40
-    )
-    assert res is not None
-    cap, n_sel, perm = res
-    assert n_sel == 1 and list(perm) == [0, 1]
+    old_gate = fmatch.MIXED_FINALIZE_MIN_GROUPS
+    fmatch.MIXED_FINALIZE_MIN_GROUPS = 0
+    try:
+        res = _colstream_finalize_cap(
+            corpus, [(np.stack([nd("beef"), nd("0123")]), 0)], 40
+        )
+        assert res is not None
+        cap, n_sel, perm = res
+        assert n_sel == 1 and list(perm) == [0, 1]
 
-    _assert_query_parity(corpus, ["beef", "0123"], Config(), k=40)
-    # broad-first input order exercises the perm reorder
-    _assert_query_parity(corpus, ["0123", "beef"], Config(), k=40)
+        _assert_query_parity(corpus, ["beef", "0123"], Config(), k=40)
+        # broad-first input order exercises the perm reorder
+        _assert_query_parity(corpus, ["0123", "beef"], Config(), k=40)
+    finally:
+        fmatch.MIXED_FINALIZE_MIN_GROUPS = old_gate
 
 
 def test_fast_empty_batch_short_circuit():
