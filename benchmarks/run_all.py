@@ -557,7 +557,11 @@ def _persist(rows):
             "131 us radix; in serving, sorts batch across the Q axis. "
             "% HBM roofline = serving hay/s vs one full 819 GB/s read of "
             "the packed corpus per query (>100% means stage-1 block "
-            "flags skipped most of the pass). DERIVED anchors (all "
+            "flags skipped most of the pass); the DP-bound all_match / "
+            "all_scores rows are COMPUTE-bound, not HBM-bound — "
+            "probe_vpu_roofline.jsonl pins the kernel alone at ~60% of "
+            "a stated VPU op ceiling (84-99 G DP cells/s) with HBM at "
+            "2-3%. DERIVED anchors (all "
             "favorable to the reference, from its own published rows): "
             "xl_heavy = Partial Match len-64 byte-scaled x32 (its "
             ">1024 B rows take the linear greedy scorer); "
