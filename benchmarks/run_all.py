@@ -66,6 +66,10 @@ REFERENCE_MS_100K = {
     "typo_1_64": 1.85, "typo_2_64": 2.36, "typo_3_64": 3.80,
     "unicode_arabic": 2.60 * 100 / 286,   # per-100k-row scaling
     "unicode_korean": 2.53 * 100 / 281,
+    # 1M-row twins: same profile, same per-100k anchor (reference cost
+    # is linear in rows)
+    "unicode_arabic_1m": 2.60 * 100 / 286,
+    "unicode_korean_1m": 2.53 * 100 / 281,
     # Chromium: 22.36 ms / 1.407M rows (BENCHMARKS.md:50-64); the typo /
     # All Scores / iterator sequential variants are BENCHMARKS.md:64
     "chromium_like": 22.36 * 100 / 1407,
@@ -388,6 +392,17 @@ def main():
                     num_samples=N if N < 280_000 else None,
                 ),
                 needle, Config(), nq)
+        if want(f"unicode_{script}_1m") and not args.quick:
+            # 1M-row scaling twin (same calibrated match/partial rates;
+            # per-row reference cost is linear in rows so the per-100k
+            # anchor carries): the published-count corpora are small
+            # enough that per-query fixed costs and the k=2048 result
+            # transport (~0.5 ms/q on this tunnel) dominate — at 1M
+            # rows they amortize and the engine rate shows through
+            run(f"unicode_{script}_1m",
+                unicode_corpus(script, needle=needle,
+                               num_samples=1_000_000),
+                needle, Config(), nq)
     if not args.skip_chromium and any(
         want(n) for n in ("chromium_like", "chromium_like_typo_1",
                           "chromium_like_typo_2", "chromium_like_all_scores",
@@ -587,7 +602,8 @@ def _persist(rows):
             "Korean 589M haystacks/s), this single chip serves "
         )
         x8 = {"chromium_like": 404e6, "unicode_arabic": 594e6,
-              "unicode_korean": 589e6}
+              "unicode_korean": 589e6, "unicode_arabic_1m": 594e6,
+              "unicode_korean_1m": 589e6}
         parts = []
         for cfg_name, anchor in x8.items():
             r = seen.get(cfg_name)
