@@ -56,7 +56,7 @@ def main():
     for name, no_pre in (("all_match_128", False),
                          ("all_scores_128", True)):
         b = corpus.buckets[0]
-        cpT, nuT, idxT, _bb = b.device_arrays_colstream()
+        cpT, nuT, idxT, _bb, _ctx = b.device_arrays_colstream()
         W = b.cp.shape[1]
         B = b.cp.shape[0]
         n = len(needle)

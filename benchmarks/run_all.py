@@ -576,7 +576,14 @@ def _persist(rows):
             "all_scores rows are COMPUTE-bound, not HBM-bound — "
             "probe_vpu_roofline.jsonl pins the kernel alone at ~60% of "
             "a stated VPU op ceiling (84-99 G DP cells/s) with HBM at "
-            "2-3%. DERIVED anchors (all "
+            "2-3%. The unicode_arabic rows are bound by the RESULT SORT, "
+            "not the kernel: their common-particle needles keep ~85% of "
+            "groups stage-1-alive, so broad queries take the full "
+            "per-row key sort (measured 1.7 ms/q at 1M rows, vs "
+            "0.5 ns/row for the skip-gated kernel itself) and an exact "
+            "top-k replacement measured SLOWER than the single-operand "
+            "sort (XLA top_k probe: 2.8 vs 1.7 ms/q at 1M). "
+            "DERIVED anchors (all "
             "favorable to the reference, from its own published rows): "
             "xl_heavy = Partial Match len-64 byte-scaled x32 (its "
             ">1024 B rows take the linear greedy scorer); "

@@ -228,7 +228,9 @@ class PackedBucket:
     def device_arrays_colstream(self):
         """Transposed (column-stream) blocks for ops/colstream: (cpT
         (nG*W, SUBL, 128) int32, nuT (nG*SUBL, 128) int32, idxT (B,)
-        int32, blk_bits (nG, PLANES*128) int8). Row groups of SUBL*128
+        int32, blk_bits (nG, PLANES*128) int8, ctxT (nG*W, SUBL, 128)
+        int8 UTF-8 bonus-context plane — None for byte corpora). Row
+        groups of SUBL*128
         pack unit-major: group g's unit column j lives at cpT[g*W + j]
         with row g*GR + s*128 + l at [s, l] — the layout the in-place
         serving flow streams when every row runs the DP (lanes =
@@ -308,6 +310,35 @@ class PackedBucket:
         cpt = np.ascontiguousarray(
             cp32.reshape(ng, _cs.SUBL, 128, w).transpose(0, 3, 1, 2)
         ).reshape(ng * w, _cs.SUBL, 128)
+        ctxt = None
+        if self.cp.dtype != np.int8:
+            # Pack-time UTF-8 bonus context plane (codepoint corpora):
+            # one int8 per unit holding the per-column facts the kernel
+            # otherwise re-derives ~20 element-ops per column per pass
+            # (lead/last byte chains + case/delimiter tests) — bit0
+            # is_upper(first byte), bit1 delim(first), bit2 lower(last),
+            # bit3 delim(last), bits4-6 UTF-8 byte length. Padding units
+            # (cp 0) get the cp-0 values; the kernel reads the plane
+            # only under the same valid/occ gates as the derived path.
+            first = _utf8_lead_byte(cp32)
+            last = _utf8_last_byte(cp32)
+
+            def _dl(bb):
+                letter = (
+                    ((bb >= 0x41) & (bb <= 0x5A))
+                    | ((bb >= 0x61) & (bb <= 0x7A))
+                )
+                digit = (bb >= 0x30) & (bb <= 0x39)
+                return (bb >= 0) & (bb <= 127) & ~letter & ~digit
+
+            ctx = ((first >= 0x41) & (first <= 0x5A)).astype(np.int8)
+            ctx |= _dl(first).astype(np.int8) << 1
+            ctx |= ((last >= 0x61) & (last <= 0x7A)).astype(np.int8) << 2
+            ctx |= _dl(last).astype(np.int8) << 3
+            ctx |= _utf8_len(cp32).astype(np.int8) << 4
+            ctxt = np.ascontiguousarray(
+                ctx.reshape(ng, _cs.SUBL, 128, w).transpose(0, 3, 1, 2)
+            ).reshape(ng * w, _cs.SUBL, 128)
         if self.cp.dtype == np.int8:
             # byte units ride HBM as int8 (the kernel upcasts per column
             # in VMEM) — 4x less kernel read traffic than int32
@@ -321,6 +352,7 @@ class PackedBucket:
             jnp.asarray(nup.reshape(ng * _cs.SUBL, 128)),
             jnp.asarray(idxt),
             jnp.asarray(blk_bits),
+            jnp.asarray(ctxt) if ctxt is not None else None,
         )
         # host copy: the dispatcher picks the STATIC result-sort
         # capacity from per-group alive counts before the program runs

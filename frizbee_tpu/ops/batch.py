@@ -723,10 +723,10 @@ def _fused_match_batch_fast(
     cs_interpret = jax.default_backend() != "tpu"
 
     def run_colstream(cpT_k, nuT_k, needle_q, count, W, flags=None,
-                      idx_blocks=None):
+                      idx_blocks=None, ctxT=None):
         return match_units_colstream(
             cpT_k, nuT_k, pack_needle_scalars(needle_q, count), flags,
-            idx_blocks,
+            idx_blocks, ctxT,
             W=W, n=nlen, max_typos=T, scoring=scoring, unicode=unicode,
             no_prefilter=no_prefilter, interpret=cs_interpret,
             idx_bits=idx_bits if idx_blocks is not None else 0,
@@ -813,11 +813,13 @@ def _fused_match_batch_fast(
                     # Keys keep the GROUP-PADDED length so the capped
                     # finalize can select whole groups (padding slots
                     # carry idx -1 -> sentinel keys).
-                    cpT, nuT, idxT, _bb = buckets_T[bi]
+                    bt = buckets_T[bi]
+                    cpT, nuT, idxT = bt[0], bt[1], bt[2]
+                    ctxT = bt[4] if len(bt) > 4 else None
                     fl = xs[1 + bi] if flags_T is not None else None
                     hi, lo, mcol = run_colstream(
                         cpT, nuT, needle_q, B, W, flags=fl,
-                        idx_blocks=idxT.reshape(-1, 128),
+                        idx_blocks=idxT.reshape(-1, 128), ctxT=ctxT,
                     )
                     cnt = jnp.sum(mcol).astype(jnp.int32)
                 else:
@@ -1162,7 +1164,9 @@ def _fused_multi_batch_fast(
         his, los, counts = [], [], []
         for bi, b in enumerate(buckets):
             B, W = b[0].shape
-            cpT, nuT, idxT, _bb = buckets_T[bi]
+            bt = buckets_T[bi]
+            cpT, nuT, idxT = bt[0], bt[1], bt[2]
+            ctxT = bt[4] if len(bt) > 4 else None
             idx_flat = idxT.reshape(-1)
             fl = fls[bi] if flags_T is not None else None
             cm = idx_flat >= 0
@@ -1174,7 +1178,7 @@ def _fused_multi_batch_fast(
                 m, s, e, ec, g = match_units_colstream(
                     cpT, nuT,
                     pack_needle_scalars(needle_qs[pi], B),
-                    fl, None,
+                    fl, None, ctxT,
                     W=W, n=info["nlen"], max_typos=info["T"],
                     scoring=info["scoring"], unicode=unicode,
                     no_prefilter=info["nopre"],

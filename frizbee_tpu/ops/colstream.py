@@ -104,27 +104,68 @@ def _utf8_ctx(hay, valid):
     return first, last, blen
 
 
-def _column(cpT_ref, j, nu, unicode, dt=jnp.int32):
-    """Load unit column j: (hay, valid, first, last, blen) in ``dt``
-    lanes (dt != int32 only on the ASCII int16 path — unicode codepoints
+def _column(cpT_ref, j, nu, unicode, dt=jnp.int32, ctx_ref=None,
+            want_bits=False):
+    """Load unit column j: (hay, valid, blen, bits) in ``dt`` lanes
+    (dt != int32 only on the ASCII int16 path — unicode codepoints
     don't fit 16 bits). ``nu`` must already be in ``dt``: every i1 mask
     in a 16-bit loop must derive from 16-bit-laid-out operands or Mosaic
-    hits an invalid (8,128)->(16,128) mask relayout."""
+    hits an invalid (8,128)->(16,128) mask relayout.
+
+    ``bits`` (only when ``want_bits``) packs the per-unit bonus facts:
+    bit0 is_upper(first byte), bit1 delim(first), bit2 lower(last),
+    bit3 delim(last). With a pack-time ``ctx_ref`` plane
+    (corpus.device_arrays_colstream) the bits and byte length are ONE
+    int8 load + two mask ops instead of ~20 element-ops of UTF-8
+    lead/last-byte chains and case/delimiter tests re-derived per
+    column per pass — the unicode kernels' largest per-column cost."""
     hay = cpT_ref[j].astype(dt)
     if not unicode:
         hay = hay & 0xFF
     valid = nu > jnp.asarray(j, nu.dtype)
+    bits = None
     if unicode:
-        first, last, blen = _utf8_ctx(hay, valid)
+        if ctx_ref is not None:
+            ctx = ctx_ref[j].astype(dt)
+            blen = jnp.where(
+                valid,
+                jax.lax.shift_right_logical(ctx, jnp.asarray(4, dt)) & 7,
+                jnp.asarray(0, dt),
+            )
+            if want_bits:
+                bits = ctx & 0xF
+        else:
+            first, last, blen = _utf8_ctx(hay, valid)
+            if want_bits:
+                bits = _bonus_bits(first, last, dt)
     else:
-        first = jnp.where(valid, hay, 0)
-        last = first
         blen = valid.astype(dt)
-    return hay, valid, first, last, blen
+        if want_bits:
+            first = jnp.where(valid, hay, jnp.asarray(0, dt))
+            bits = _bonus_bits(first, first, dt)
+    return hay, valid, blen, bits
+
+
+def _bonus_bits(first, last, dt=jnp.int32):
+    """Pack the per-unit bonus facts from derived first/last bytes —
+    the in-kernel fallback twin of the pack-time ctx plane (identical
+    bit layout; differential-pinned in tests/test_colstream_ctx.py)."""
+    def delim(b):
+        letter = (
+            ((b >= 0x41) & (b <= 0x5A)) | ((b >= 0x61) & (b <= 0x7A))
+        )
+        digit = (b >= 0x30) & (b <= 0x39)
+        return (b >= 0) & (b <= 127) & ~letter & ~digit
+
+    bits = ((first >= 0x41) & (first <= 0x5A)).astype(dt)
+    bits = bits | (delim(first).astype(dt) << 1)
+    bits = bits | (((last >= 0x61) & (last <= 0x7A)).astype(dt) << 2)
+    bits = bits | (delim(last).astype(dt) << 3)
+    return bits
 
 
 def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
-                 no_prefilter, int16_lanes=False):
+                 no_prefilter, int16_lanes=False, ctx_ref=None):
     """Full-semantics match over one (W, SUBL, 128)-blocked row group.
 
     Returns int32 (SUBL, 128) tiles: matched, score, exact, end_col,
@@ -194,7 +235,9 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
                     (np_, wtrack, boff, nb) = c
                 else:
                     (np_, wtrack) = c
-                hay, valid, _f, _l, blen = _column(cpT_ref, j, nu, unicode)
+                hay, valid, blen, _b = _column(
+                    cpT_ref, j, nu, unicode, ctx_ref=ctx_ref
+                )
                 if not unicode:
                     boff = j
                     e_byte = j + 1
@@ -242,7 +285,9 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
                     g, wtrack, boff, nb = c[0], c[1], c[2], c[3]
                 else:
                     g, wtrack = c[0], c[1]
-                hay, valid, _f, _l, blen = _column(cpT_ref, j, nu, unicode)
+                hay, valid, blen, _b = _column(
+                    cpT_ref, j, nu, unicode, ctx_ref=ctx_ref
+                )
                 if not unicode:
                     boff = j
                     e_byte = j + 1
@@ -284,7 +329,9 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
     else:
         def nb_body(j, c):
             nb = c
-            _hay, valid, _f, _l, blen = _column(cpT_ref, j, nu, unicode)
+            _hay, _valid, blen, _b = _column(
+                cpT_ref, j, nu, unicode, ctx_ref=ctx_ref
+            )
             return nb + blen
 
         if unicode:
@@ -333,13 +380,6 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
     nu_d = nu.astype(dt)
     include_prefix_d = wstart_d == 0
 
-    def delim(b):
-        letter = (
-            ((b >= 0x41) & (b <= 0x5A)) | ((b >= 0x61) & (b <= 0x7A))
-        )
-        digit = (b >= 0x30) & (b <= 0x39)
-        return (b >= 0) & (b <= 127) & ~letter & ~digit
-
     def sw_body(j, c):
         # flag carries ride as int32 lanes (no i1 block args in Mosaic);
         # the previous column's per-k match flags pack into ONE bitmask
@@ -348,16 +388,19 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
         # The previous unit's bonus context (was-lowercase / was-delim of
         # its last byte) is carried as one packed int32 (bit0 = lower,
         # bit1 = delim) instead of recomputing delim()/case from a
-        # carried prev_last byte — ~9 fewer element-ops per column.
+        # carried prev_last byte. The current unit's four bonus facts
+        # arrive as packed ``bits`` (pack-time ctx plane when available,
+        # else derived in _column) — see _bonus_bits for the layout.
         (h, mm_bits, boff, pctx, seen_first, best, end_b) = c
-        hay, valid, first, last, blen = _column(
-            cpT_ref, j, nu_d, unicode, dt=dt
+        hay, valid, blen, bits = _column(
+            cpT_ref, j, nu_d, unicode, dt=dt, ctx_ref=ctx_ref,
+            want_bits=True,
         )
         active = valid & (boff >= wstart_d) & (boff + blen <= wend_d)
         is_first = active & (seen_first == 0)
         seen_first = seen_first | active.astype(dt)
 
-        is_upper = (first >= 0x41) & (first <= 0x5A)
+        is_upper = (bits & 1) > 0
         prev_lower = (pctx & 1) > 0
         prev_delim = (pctx & 2) > 0
 
@@ -365,22 +408,18 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
             return jnp.asarray(v, dt)  # dtype-pinned scalar constant
 
         cap_mask = is_upper & prev_lower & ~is_first
-        delim_first = delim(first)
+        delim_first = (bits & 2) > 0
         delim_mask = prev_delim & ~delim_first & ~is_first
         bonus = (
             jnp.where(cap_mask, cd(cap_b), cd(0))
             + jnp.where(delim_mask, cd(delim_b), cd(0))
             + jnp.where(is_first & include_prefix_d, cd(prefix_b), cd(0))
         )
-        if unicode:
-            delim_last = delim(last)
-            lower_last = (last >= 0x61) & (last <= 0x7A)
-        else:
-            delim_last = delim_first
-            lower_last = (first >= 0x61) & (first <= 0x7A)
+        # pctx for the next column: [lower(last), delim(last)] = the
+        # ctx bits shifted down two
         pctx_new = jnp.where(
             valid,
-            lower_last.astype(dt) | (delim_last.astype(dt) << 1),
+            jax.lax.shift_right_logical(bits, jnp.asarray(2, dt)) & 3,
             cd(0),
         )
 
@@ -479,7 +518,7 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
 
 
 def _literal_block(scal_ref, cpT_ref, nu, W, n, mode, nbl, scoring,
-                   unicode):
+                   unicode, ctx_ref=None):
     """Literal (exact/prefix/suffix/substring) match over one
     (W, SUBL, 128)-blocked row group: the contiguous-run twin of
     ``_match_block``, same output contract.
@@ -516,41 +555,30 @@ def _literal_block(scal_ref, cpT_ref, nu, W, n, mode, nbl, scoring,
     def flip_k(k):
         return scal_ref[2 + 64 + k]  # MAX_KERNEL_NEEDLE == 64 pad
 
-    def delim(b):
-        letter = (
-            ((b >= 0x41) & (b <= 0x5A)) | ((b >= 0x61) & (b <= 0x7A))
-        )
-        digit = (b >= 0x30) & (b <= 0x39)
-        return (b >= 0) & (b <= 127) & ~letter & ~digit
-
     def body(j, c):
         (D, S, SB, best, b_sb, b_p0, boff, pctx) = c
-        hay, valid, first, last, blen = _column(cpT_ref, j, nu, unicode)
+        hay, valid, blen, bits = _column(
+            cpT_ref, j, nu, unicode, ctx_ref=ctx_ref, want_bits=True
+        )
         if not unicode:
             boff = jnp.broadcast_to(jnp.asarray(j, jnp.int32), shape)
         # per-column bonus (needle-independent; literal_context formula):
         # byte offset 0 (== column 0, every row) takes the prefix bonus;
         # later columns take capitalization/delimiter context carried in
-        # pctx (bit0 = prev unit's last byte was lowercase, bit1 delim)
-        is_upper = (first >= 0x41) & (first <= 0x5A)
+        # pctx (bit0 = prev unit's last byte was lowercase, bit1 delim);
+        # the current unit's facts arrive as packed ``bits``
+        is_upper = (bits & 1) > 0
         prev_lower = (pctx & 1) > 0
         prev_delim = (pctx & 2) > 0
-        delim_first = delim(first)
+        delim_first = (bits & 2) > 0
         bonus = jnp.where(
             j == 0,
             jnp.full(shape, prefix_b, jnp.int32),
             jnp.where(is_upper & prev_lower, cap_b, 0)
             + jnp.where(prev_delim & ~delim_first, delim_b, 0),
         )
-        if unicode:
-            delim_last = delim(last)
-            lower_last = (last >= 0x61) & (last <= 0x7A)
-        else:
-            delim_last = delim_first
-            lower_last = (first >= 0x61) & (first <= 0x7A)
         pctx_new = jnp.where(
-            valid, lower_last.astype(jnp.int32)
-            | (delim_last.astype(jnp.int32) << 1), 0,
+            valid, jax.lax.shift_right_logical(bits, 2) & 3, 0,
         )
 
         D_new = z
@@ -624,7 +652,9 @@ def _literal_block(scal_ref, cpT_ref, nu, W, n, mode, nbl, scoring,
         nb = jnp.minimum(nu, W)
     else:
         def nb_body(j, acc):
-            _h, _v, _f, _l, blen = _column(cpT_ref, j, nu, unicode)
+            _h, _v, blen, _b = _column(
+                cpT_ref, j, nu, unicode, ctx_ref=ctx_ref
+            )
             return acc + blen
 
         nb = jax.lax.fori_loop(bound, jmaxu, nb_body, boff)
@@ -712,6 +742,7 @@ def match_units_colstream(
     scalars: jnp.ndarray,  # kernels.pack_needle_scalars layout (SMEM)
     flags: jnp.ndarray = None,  # (nG,) int32 per-group alive flags, or None
     idxT: jnp.ndarray = None,  # (nG*SUBL, 128) int32 corpus indices, or None
+    ctxT: jnp.ndarray = None,  # (nG*W, SUBL, 128) int8 bonus-ctx plane
     *,
     W: int,
     n: int,
@@ -754,6 +785,7 @@ def match_units_colstream(
     T = min(int(max_typos), n)
     use_flags = flags is not None
     emit_keys = idxT is not None
+    has_ctx = ctxT is not None and unicode
     n_out = 3 if emit_keys else 5
 
     def pack_keys(cols, idx):
@@ -789,7 +821,7 @@ def match_units_colstream(
         lo = jnp.where(ok, lo, -1)
         return hi, lo, ok.astype(jnp.int32)
 
-    def body(scal_ref, cpT_ref, nu_ref, idx_ref, outs, alive):
+    def body(scal_ref, cpT_ref, nu_ref, idx_ref, ctx_ref, outs, alive):
         @pl.when(alive)
         def _():
             if mode == "fuzzy":
@@ -797,11 +829,12 @@ def match_units_colstream(
                     scal_ref, cpT_ref, nu_ref[...], W, n, T, scoring,
                     unicode, no_prefilter,
                     int16_lanes=int16_lanes and not unicode,
+                    ctx_ref=ctx_ref,
                 )
             else:
                 cols = _literal_block(
                     scal_ref, cpT_ref, nu_ref[...], W, n, mode,
-                    needle_byte_len, scoring, unicode,
+                    needle_byte_len, scoring, unicode, ctx_ref=ctx_ref,
                 )
             if emit_keys:
                 cols = pack_keys(cols, idx_ref[...])
@@ -833,65 +866,55 @@ def match_units_colstream(
                          memory_space=pltpu.VMEM)
         )
         operands.append(idxT)
-
-    if use_flags:
-        # flags ride as a second scalar-prefetch operand; dead groups
-        # skip the DP and write zeros/sentinels. The input index maps
-        # stay IDENTITY: remapping dead groups' fetches to a previous
-        # live index (to elide their DMAs) was measured SLOWER on
-        # interleaved alive/dead patterns — it defeats the DMA
-        # double-buffer — and a dead group's block DMA costs only ~1 us
-        # (the full corpus is ~0.2 ms/query of HBM reads), so skipping
-        # compute is the whole win.
-        if emit_keys:
-            def kernel(scal_ref, flag_ref, cpT_ref, nu_ref, idx_ref,
-                       *outs):
-                g = pl.program_id(0)
-                base = g * subl * 128
-                body(scal_ref, cpT_ref, nu_ref, idx_ref, outs,
-                     (base < scal_ref[0]) & (flag_ref[g] > 0))
-        else:
-            def kernel(scal_ref, flag_ref, cpT_ref, nu_ref, *outs):
-                g = pl.program_id(0)
-                base = g * subl * 128
-                body(scal_ref, cpT_ref, nu_ref, None, outs,
-                     (base < scal_ref[0]) & (flag_ref[g] > 0))
-
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(nG,),
-            in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec((subl, 128), lambda i, *_: (i, 0))
-                for _ in range(n_out)
-            ],
+    if has_ctx:
+        in_specs.append(
+            pl.BlockSpec((W, subl, 128), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
         )
-        prefetch = (scalars, flags.astype(jnp.int32))
-    else:
-        # scalars[0] = live row count: whole blocks past it (compacted
-        # survivor tails) skip the DP and write zeros (matched == 0),
-        # so kernel cost scales with survivors like match_units
-        if emit_keys:
-            def kernel(scal_ref, cpT_ref, nu_ref, idx_ref, *outs):
-                base = pl.program_id(0) * subl * 128
-                body(scal_ref, cpT_ref, nu_ref, idx_ref, outs,
-                     base < scal_ref[0])
-        else:
-            def kernel(scal_ref, cpT_ref, nu_ref, *outs):
-                base = pl.program_id(0) * subl * 128
-                body(scal_ref, cpT_ref, nu_ref, None, outs,
-                     base < scal_ref[0])
+        operands.append(ctxT)
 
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(nG,),
-            in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec((subl, 128), lambda i, *_: (i, 0))
-                for _ in range(n_out)
-            ],
-        )
-        prefetch = (scalars,)
+    # flags (when given) ride as a second scalar-prefetch operand; dead
+    # groups skip the DP and write zeros/sentinels. The input index maps
+    # stay IDENTITY: remapping dead groups' fetches to a previous live
+    # index (to elide their DMAs) was measured SLOWER on interleaved
+    # alive/dead patterns — it defeats the DMA double-buffer — and a
+    # dead group's block DMA costs only ~1 us (the full corpus is
+    # ~0.2 ms/query of HBM reads), so skipping compute is the whole win.
+    # Without flags, scalars[0] = live row count: whole blocks past it
+    # (compacted survivor tails) skip the DP and write zeros.
+    def kernel(*refs):
+        k = 1 + (1 if use_flags else 0)
+        scal_ref = refs[0]
+        flag_ref = refs[1] if use_flags else None
+        cpT_ref, nu_ref = refs[k], refs[k + 1]
+        k += 2
+        idx_ref = None
+        if emit_keys:
+            idx_ref = refs[k]
+            k += 1
+        ctx_ref = None
+        if has_ctx:
+            ctx_ref = refs[k]
+            k += 1
+        outs = refs[k:]
+        g = pl.program_id(0)
+        alive = (g * subl * 128) < scal_ref[0]
+        if use_flags:
+            alive = alive & (flag_ref[g] > 0)
+        body(scal_ref, cpT_ref, nu_ref, idx_ref, ctx_ref, outs, alive)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2 if use_flags else 1,
+        grid=(nG,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((subl, 128), lambda i, *_: (i, 0))
+            for _ in range(n_out)
+        ],
+    )
+    prefetch = (
+        (scalars, flags.astype(jnp.int32)) if use_flags else (scalars,)
+    )
     outs = pl.pallas_call(
         kernel,
         out_shape=[

@@ -96,7 +96,7 @@ def test_colstream_blocks_roundtrip_indices():
     ]
     corpus = pack_corpus(hay, unicode=False)
     for b in corpus.buckets:
-        cpT, nuT, idxT, blk_bits = b.device_arrays_colstream()
+        cpT, nuT, idxT, blk_bits, _ctxT = b.device_arrays_colstream()
         idx = np.asarray(idxT)
         real = idx[idx >= 0]
         want = b.indices[b.indices >= 0]
