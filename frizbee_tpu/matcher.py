@@ -22,6 +22,12 @@ from .types import Match, MatchIndices, MatchList
 
 PatternLike = Union[str, Pattern]
 
+# Tiered Q=1 result-window floor (rows): the single-query fast path
+# serves max(this, N/8) result rows and re-dispatches with the full
+# window on count overflow (see Matcher._fused_dispatch). Module-level
+# so tests can exercise the overflow path on small corpora.
+Q1_WINDOW_MIN = 65536
+
 
 class _CompiledPattern:
     __slots__ = ("negated", "needle", "config", "engine")
@@ -102,6 +108,9 @@ class Matcher:
         self._compiled = self._build()
 
     def _build(self) -> List[_CompiledPattern]:
+        # compiled needles feed the per-corpus dispatch cache: any
+        # pattern/config rebuild invalidates it
+        self._dispatch_cache = {}
         return [
             _CompiledPattern(p, self._config, self._use_device)
             for p in self._raw_patterns
@@ -266,7 +275,7 @@ class Matcher:
         end_col = (meta & np.uint32(0x3FFF)).astype(np.int64)
         return index, score, exact, end_col, greedy
 
-    def _fused_dispatch(self, corpus: Corpus):
+    def _fused_dispatch(self, corpus: Corpus, full_window: bool = False):
         """Launch the fused device program and start the fetch; returns
         an opaque pending handle for ``_fused_collect``. Splitting
         dispatch from collection lets callers keep several corpora in
@@ -277,42 +286,79 @@ class Matcher:
         engine at Q=1 (stage-1 MXU presence + capacity tiers + the
         column-stream kernel) — the same program family serving uses —
         instead of the generic one-query program; on in-place workloads
-        that engine is ~10-20x faster per query."""
+        that engine is ~10-20x faster per query.
+
+        The fast path serves a TIERED result window (max(64k, N/8) rows
+        unless ``full_window``): a full-corpus window forces the full
+        result sort plus a corpus-sized decode — measured +13 ms of
+        device time at 1M rows (probe_q1 ablation) — while almost every
+        real query's matches fit the tier. A count overflow
+        re-dispatches once with the full window (_fused_collect).
+        Device args, stacked needles, colstream blocks and the finalize
+        cap are cached per (corpus, window): recomputing them cost
+        ~10 ms of host work per single-query call."""
         from .ops.batch import (
             fused_match_sorted,
             fused_match_sorted_batch,
         )
 
         strategy = self._config.sort
-        buckets, patterns, statics, use_kernel, bst = (
-            self._fused_device_args(corpus)
-        )
-        # the batched engine serves single fuzzy AND literal patterns at
-        # Q=1 (fused_match_sorted_batch routes by mode), plus any
-        # multi-pattern / negated combination whose every pattern fits
-        # the column-stream kernel
-        from .ops.batch import colstream_eligible_all
+        cache = getattr(self, "_dispatch_cache", None)
+        ck = (id(corpus), bool(full_window))
+        if cache is not None and ck in cache and cache[ck][0] is corpus:
+            _c, fast, prep = cache[ck]
+        else:
+            from .ops.batch import colstream_eligible_all
 
-        pats_host = [cp.engine._host_needle() for cp in self._compiled]
-        lens = [p[0].shape[0] for p in pats_host]
-        single = len(statics) == 1 and not statics[0][2]
-        fast = (
-            use_kernel
-            and strategy.is_by_score
-            and (single or colstream_eligible_all(statics, lens))
-        )
-        if fast:
-            import jax.numpy as jnp
-
-            stacked = tuple(
-                tuple(jnp.asarray(a[None]) for a in p)
-                for p in pats_host
+            buckets, patterns, statics, use_kernel, bst = (
+                self._fused_device_args(corpus)
             )
-            buckets_T, fin_cap, _perm = _colstream_blocks_and_cap(
-                corpus, statics, lens,
-                [np.concatenate(p[:2])[None, :] for p in pats_host],
-                len(corpus), single,
-            )  # perm is trivially identity at Q=1
+            # the batched engine serves single fuzzy AND literal
+            # patterns at Q=1 (fused_match_sorted_batch routes by
+            # mode), plus any multi-pattern / negated combination whose
+            # every pattern fits the column-stream kernel
+            pats_host = [
+                cp.engine._host_needle() for cp in self._compiled
+            ]
+            lens = [p[0].shape[0] for p in pats_host]
+            single = len(statics) == 1 and not statics[0][2]
+            fast = (
+                use_kernel
+                and strategy.is_by_score
+                and (single or colstream_eligible_all(statics, lens))
+            )
+            if fast:
+                import jax.numpy as jnp
+
+                window = (
+                    len(corpus)
+                    if full_window
+                    else min(
+                        len(corpus),
+                        max(Q1_WINDOW_MIN, len(corpus) // 8),
+                    )
+                )
+                stacked = tuple(
+                    tuple(jnp.asarray(a[None]) for a in p)
+                    for p in pats_host
+                )
+                buckets_T, fin_cap, _perm = _colstream_blocks_and_cap(
+                    corpus, statics, lens,
+                    [np.concatenate(p[:2])[None, :] for p in pats_host],
+                    window, single,
+                )  # perm is trivially identity at Q=1
+                prep = (buckets, statics, bst, stacked, buckets_T,
+                        fin_cap, window)
+            else:
+                prep = (buckets, patterns, statics, bst)
+            if cache is None:
+                cache = self._dispatch_cache = {}
+            if len(cache) > 8:
+                cache.clear()
+            cache[ck] = (corpus, fast, prep)
+        if fast:
+            (buckets, statics, bst, stacked, buckets_T, fin_cap,
+             window) = prep
             out = fused_match_sorted_batch(
                 buckets,
                 stacked,
@@ -323,7 +369,7 @@ class Matcher:
                 use_kernel=True,
                 unicode=corpus.unicode,
                 score_bound=self._score_bound(),
-                fetch_rows=len(corpus),
+                fetch_rows=window,
                 bucket_statics=bst,
                 buckets_T=buckets_T,
                 finalize_cap=fin_cap,
@@ -358,6 +404,13 @@ class Matcher:
         k = min(self.fetch_rows, len(corpus))
         head = np.asarray(head_dev)
         count = int(head[0, 0])
+        if count > out.shape[0] - 1:
+            # the tiered result window overflowed (count beyond
+            # max(64k, N/8) matches): one re-dispatch with the
+            # full-corpus window serves everything
+            return self._fused_collect(
+                self._fused_dispatch(corpus, full_window=True)
+            )
         if count > k:
             rows = np.concatenate(
                 [head[1:], np.asarray(out[1 + k : 1 + count])], axis=0

@@ -308,6 +308,46 @@ def test_mixed_finalize_parity():
         fmatch.MIXED_FINALIZE_MIN_GROUPS = old_gate
 
 
+def test_q1_window_overflow_redispatch():
+    """The tiered single-query result window must transparently
+    re-dispatch with the full window when the match count overflows it
+    (all rows match here), returning the complete result set."""
+    import frizbee_tpu.matcher as fmatch
+
+    hay = all_match_corpus(median_length=24, num_samples=4500, seed=33)
+    corpus = pack_corpus(hay, unicode=False)
+    old = fmatch.Q1_WINDOW_MIN
+    fmatch.Q1_WINDOW_MIN = 64  # window << count -> overflow path
+    try:
+        m = Matcher("deadbeef", Config())
+        got = m.match_arrays(corpus)
+        ref = Matcher(
+            "deadbeef", Config(), use_device=False
+        ).match_arrays(corpus)
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(a, b)
+        assert len(got[0]) == len(corpus)
+    finally:
+        fmatch.Q1_WINDOW_MIN = old
+
+
+def test_dispatch_cache_invalidates_on_set_pattern():
+    """The per-corpus dispatch cache must not serve stale needles after
+    set_pattern/set_config rebuilds."""
+    hay = partial_match_corpus(median_length=24, num_samples=2500, seed=35)
+    corpus = pack_corpus(hay, unicode=False)
+    m = Matcher("deadbeef", Config())
+    first = m.match_arrays(corpus)
+    m.set_pattern("beef")
+    second = m.match_arrays(corpus)
+    ref = Matcher("beef", Config(), use_device=False).match_arrays(corpus)
+    for a, b in zip(second, ref):
+        np.testing.assert_array_equal(a, b)
+    assert len(second[0]) != len(first[0]) or not np.array_equal(
+        second[0], first[0]
+    )
+
+
 def test_fast_empty_batch_short_circuit():
     """A batch where no query has any stage-1 survivor must produce empty
     results through the short-circuit flow, identically to the oracle."""
