@@ -224,6 +224,18 @@ def test_fast_literal_serving_unicode():
         )
 
 
+def test_fast_literal_ignores_typo_budget(corpus_partial):
+    """Literal matching ignores max_typos (reference:
+    src/literal/mod.rs:1-8) — the colstream literal route must run its
+    stage-1 at T=0 and produce identical results for any budget,
+    including None (which flips the fuzzy no_prefilter static)."""
+    from frizbee_tpu.config import Matching
+
+    for mt in (2, None):
+        cfg = Config(matching=Matching.SUBSTRING, max_typos=mt)
+        _assert_query_parity(corpus_partial, ["dead", "eadb"], cfg)
+
+
 def test_fast_literal_topk(corpus_partial):
     from frizbee_tpu.config import Matching
 
