@@ -353,7 +353,10 @@ class Matcher:
                 prep = (buckets, patterns, statics, bst)
             if cache is None:
                 cache = self._dispatch_cache = {}
-            if len(cache) > 8:
+            if len(cache) >= 4:
+                # entries hold corpus + device-block references: bound
+                # the cache so cycling matchers over many corpora can't
+                # pin old device arrays in HBM
                 cache.clear()
             cache[ck] = (corpus, fast, prep)
         if fast:
