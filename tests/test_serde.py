@@ -68,3 +68,23 @@ def test_corpus_save_load(tmp_path, unicode):
     # a reloaded corpus serves queries identically (host oracle engines)
     m = Matcher("linux", Config(), use_device=False)
     assert m.match_list(c2) == m.match_list(c)
+
+    # ... and identically through the DEVICE fast paths (colstream
+    # blocks, ctx plane, flags are all rebuilt lazily from the
+    # persisted arrays): fuzzy, literal, and multi-pattern queries
+    from frizbee_tpu.config import Matching
+    from frizbee_tpu.matcher import match_arrays_batch
+
+    for cfg, qs in (
+        (Config(), ["lin nux", "li !nux"]),
+        (Config(matching=Matching.SUBSTRING), ["lin"]),
+    ):
+        r1 = match_arrays_batch(
+            [Matcher.from_query(q, cfg) for q in qs], c, cfg
+        )
+        r2 = match_arrays_batch(
+            [Matcher.from_query(q, cfg) for q in qs], c2, cfg
+        )
+        for a, b in zip(r1, r2):
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(x, y)
