@@ -13,7 +13,7 @@ hay = unicode_corpus("arabic", needle="إن", num_samples=1_000_000)
 corpus = pack_corpus(hay, unicode=True)
 scoring = tuple(int(getattr(Config().scoring, f)) for f in SCORING_FIELDS)
 b = corpus.buckets[0]
-cpT, nuT, idxT, _bb = b.device_arrays_colstream()
+cpT, nuT, idxT, _bb, _ctx = b.device_arrays_colstream()
 W = b.cp.shape[1]; B = b.cp.shape[0]
 print("bucket", B, W, "buckets:", [(bb.cp.shape) for bb in corpus.buckets], flush=True)
 needle = "لا"

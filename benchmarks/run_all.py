@@ -481,18 +481,18 @@ def main():
     # perf). No reference row exists for these modes in isolation
     # (frizbee benches only the fuzzy path), so vs_reference stays blank
     # and the absolute hay/s is the record.
-    if any(want(n) for n in ("literal_substring", "literal_prefix",
-                             "multi_pattern")):
+    if any(want(n) for n in ("literal_substring_64", "literal_prefix_64",
+                             "multi_pattern_64")):
         pm64 = partial_match_corpus(median_length=64, num_samples=N)
         lit_variants = ["'" + v for v in VARIANTS]
-        if want("literal_substring"):
+        if want("literal_substring_64"):
             run("literal_substring_64", pm64, "'deadbeef", Config(), nq,
                 query_syntax=True, query_variants=lit_variants)
-        if want("literal_prefix"):
+        if want("literal_prefix_64"):
             run("literal_prefix_64", pm64, "^deadbeef", Config(), nq,
                 query_syntax=True,
                 query_variants=["^" + v for v in VARIANTS])
-        if want("multi_pattern"):
+        if want("multi_pattern_64"):
             run("multi_pattern_64", pm64, "dead !cafe", Config(), nq,
                 query_syntax=True,
                 query_variants=[v[:4] + " !" + v[4:] for v in VARIANTS])

@@ -65,30 +65,26 @@ def get_fastmatch():
             return _fastmatch
         try:
             import importlib.util
+            import sys
             import sysconfig
 
-            os.makedirs(_CACHE, exist_ok=True)
             tag = sysconfig.get_config_var("SOABI") or "py3"
-            so = os.path.join(_CACHE, f"fastmatch.{tag}.so")
-            src_mtime = os.path.getmtime(_FASTMATCH_SRC)
-            if not (
-                os.path.exists(so)
-                and os.path.getmtime(so) >= src_mtime
-            ):
-                inc = sysconfig.get_paths()["include"]
-                cmd = [
-                    "gcc", "-O2", "-shared", "-fPIC", f"-I{inc}",
-                    _FASTMATCH_SRC, "-o", so + ".tmp",
-                ]
-                subprocess.run(
-                    cmd, check=True, capture_output=True, timeout=120
-                )
-                os.replace(so + ".tmp", so)
+            inc = sysconfig.get_paths()["include"]
+            so = _compile_cached(
+                _FASTMATCH_SRC, f"fastmatch.{tag}.so",
+                ["gcc", "-O2", "-shared", "-fPIC", f"-I{inc}"],
+            )
+            if so is None:
+                raise RuntimeError("fastmatch build failed")
             spec = importlib.util.spec_from_file_location(
                 "frizbee_tpu.native.fastmatch", so
             )
             mod = importlib.util.module_from_spec(spec)
             spec.loader.exec_module(mod)
+            # register under the canonical name so pickled Match
+            # instances (Match.__reduce__ references the class by
+            # module path) resolve in fresh processes
+            sys.modules["frizbee_tpu.native.fastmatch"] = mod
             _fastmatch = mod
         except Exception:
             _fastmatch = None
@@ -96,22 +92,37 @@ def get_fastmatch():
         return _fastmatch
 
 
-def _build() -> Optional[str]:
+def _compile_cached(src: str, out_name: str, cmd_head) -> Optional[str]:
+    """Shared compile-once protocol for the native components: mtime
+    staleness check against ``src``, build to a PER-PID temp name (xdist
+    workers on a cold cache all compile concurrently — a shared .tmp
+    interleaves writes and os.replace could install a corrupt .so with
+    a fresh mtime, silently disabling the native path until the cache
+    dir is wiped), then one atomic os.replace."""
     os.makedirs(_CACHE, exist_ok=True)
-    so = os.path.join(_CACHE, "packer.so")
-    src_mtime = os.path.getmtime(_SRC)
+    so = os.path.join(_CACHE, out_name)
+    src_mtime = os.path.getmtime(src)
     if os.path.exists(so) and os.path.getmtime(so) >= src_mtime:
         return so
-    cmd = [
-        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-        _SRC, "-o", so + ".tmp",
-    ]
+    tmp = f"{so}.tmp{os.getpid()}"
+    cmd = list(cmd_head) + [src, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(so + ".tmp", so)
+        os.replace(tmp, so)
         return so
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
+
+
+def _build() -> Optional[str]:
+    return _compile_cached(
+        _SRC, "packer.so",
+        ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC"],
+    )
 
 
 def get_lib():

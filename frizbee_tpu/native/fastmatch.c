@@ -49,8 +49,38 @@ Match_new(PyTypeObject *type, PyObject *args, PyObject *kwds)
 static PyMemberDef Match_members[] = {
     {"score", T_LONGLONG, offsetof(MatchObject, score), 0, NULL},
     {"index", T_LONGLONG, offsetof(MatchObject, index), 0, NULL},
-    {"exact", T_BOOL, offsetof(MatchObject, exact), 0, NULL},
     {"end_col", T_LONGLONG, offsetof(MatchObject, end_col), 0, NULL},
+    {NULL}
+};
+
+/* exact as a getset (not T_BOOL): the dataclass accepts any truthy
+ * assignment (numpy bool_, 0/1) and so must this type. */
+static PyObject *
+Match_get_exact(MatchObject *self, void *Py_UNUSED(closure))
+{
+    if (self->exact)
+        Py_RETURN_TRUE;
+    Py_RETURN_FALSE;
+}
+
+static int
+Match_set_exact(MatchObject *self, PyObject *value,
+                void *Py_UNUSED(closure))
+{
+    if (value == NULL) {
+        PyErr_SetString(PyExc_AttributeError, "cannot delete exact");
+        return -1;
+    }
+    int t = PyObject_IsTrue(value);
+    if (t < 0)
+        return -1;
+    self->exact = (char)t;
+    return 0;
+}
+
+static PyGetSetDef Match_getset[] = {
+    {"exact", (getter)Match_get_exact, (setter)Match_set_exact, NULL,
+     NULL},
     {NULL}
 };
 
@@ -113,6 +143,23 @@ Match_to_dict(MatchObject *self, PyObject *Py_UNUSED(ignored))
                          "end_col", self->end_col);
 }
 
+/* int(x)-equivalent coercion: the dataclass from_dict truncates floats
+ * via int(); PyLong_AsLongLong alone would reject them. */
+static long long
+as_longlong_coerce(PyObject *v, int *err)
+{
+    PyObject *num = PyNumber_Long(v);
+    if (num == NULL) {
+        *err = 1;
+        return 0;
+    }
+    long long out = PyLong_AsLongLong(num);
+    Py_DECREF(num);
+    if (PyErr_Occurred())
+        *err = 1;
+    return out;
+}
+
 static PyObject *
 Match_from_dict(PyObject *cls, PyObject *d)
 {
@@ -129,15 +176,33 @@ Match_from_dict(PyObject *cls, PyObject *d)
                                                        0);
     if (m == NULL)
         return NULL;
-    m->score = PyLong_AsLongLong(score);
-    m->index = PyLong_AsLongLong(index);
-    m->exact = exact ? (char)PyObject_IsTrue(exact) : 0;
-    m->end_col = end_col ? PyLong_AsLongLong(end_col) : 0;
-    if (PyErr_Occurred()) {
+    int err = 0;
+    m->score = as_longlong_coerce(score, &err);
+    m->index = as_longlong_coerce(index, &err);
+    int ex = exact ? PyObject_IsTrue(exact) : 0;
+    if (ex < 0)
+        err = 1;
+    m->exact = (char)(ex > 0);
+    m->end_col = end_col ? as_longlong_coerce(end_col, &err) : 0;
+    if (err || PyErr_Occurred()) {
         Py_DECREF(m);
         return NULL;
     }
     return (PyObject *)m;
+}
+
+/* pickle/copy support: the dataclass round-tripped through pickle and
+ * copy.deepcopy before the C type existed; __reduce__ restores that.
+ * The loader registers the module as frizbee_tpu.native.fastmatch in
+ * sys.modules (native/__init__.get_fastmatch), and importing the
+ * parent packages re-registers it, so class-by-name resolution works
+ * in fresh unpickling processes. */
+static PyObject *
+Match_reduce(MatchObject *self, PyObject *Py_UNUSED(ignored))
+{
+    return Py_BuildValue(
+        "(O(LLOL))", (PyObject *)Py_TYPE(self), self->score, self->index,
+        self->exact ? Py_True : Py_False, self->end_col);
 }
 
 static PyObject *
@@ -160,6 +225,7 @@ Match_from_index(PyObject *cls, PyObject *arg)
 }
 
 static PyMethodDef Match_methods[] = {
+    {"__reduce__", (PyCFunction)Match_reduce, METH_NOARGS, NULL},
     {"sort_key", (PyCFunction)Match_sort_key, METH_NOARGS, NULL},
     {"to_dict", (PyCFunction)Match_to_dict, METH_NOARGS, NULL},
     {"from_dict", (PyCFunction)Match_from_dict, METH_O | METH_CLASS, NULL},
@@ -177,6 +243,7 @@ static PyTypeObject Match_Type = {
     .tp_repr = (reprfunc)Match_repr,
     .tp_richcompare = Match_richcompare,
     .tp_members = Match_members,
+    .tp_getset = Match_getset,
     .tp_methods = Match_methods,
 };
 

@@ -177,10 +177,14 @@ class MatchIndices:
 
 # ---- C extension Match (native/fastmatch.c) --------------------------------
 # The dataclass above stays as PY_MATCH: the behavioral oracle
-# (tests/test_types_fastmatch.py pins the two) and the fallback when the
-# toolchain is unavailable or FRIZBEE_TPU_NO_NATIVE=1. build_matches is
-# the bulk column->list constructor used by MatchList.__iter__ and the
-# iterator APIs (None under the fallback).
+# (tests/test_types_fastmatch.py pins the two — including pickle/copy,
+# lenient exact assignment, and from_dict coercion) and the fallback
+# when the toolchain is unavailable or FRIZBEE_TPU_NO_NATIVE=1.
+# build_matches is the bulk column->list constructor used by
+# MatchList.__iter__ and the iterator APIs (None under the fallback).
+# Binding happens at IMPORT so the Match class identity is stable for
+# the process lifetime (isinstance/equality across call sites); the
+# one-time gcc build (~1 s, then mtime-cached per host) is the price.
 PY_MATCH = Match
 build_matches = None
 try:

@@ -86,6 +86,51 @@ def test_serde_and_classmethods():
     )
 
 
+def test_pickle_copy_roundtrip():
+    """The dataclass round-tripped through pickle/copy before the C
+    type existed; the C type must too (advisor round-5 finding)."""
+    import copy
+    import pickle
+
+    m = fm.Match(score=9, index=4, exact=True, end_col=2)
+    assert pickle.loads(pickle.dumps(m)) == m
+    assert copy.copy(m) == m
+    assert copy.deepcopy(m) == m
+    # subprocess unpickling: class-by-name must resolve in a FRESH
+    # process (sys.modules registration in native/__init__)
+    import subprocess
+    import sys
+
+    blob = pickle.dumps(m).hex()
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import pickle,sys;"
+         f"m=pickle.loads(bytes.fromhex('{blob}'));"
+         "print(m.score, m.index, m.exact, m.end_col)"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert out.stdout.strip() == "9 4 True 2", out.stderr[-500:]
+
+
+def test_lenient_assignment_and_coercion():
+    """Mutation and from_dict must accept the same inputs the dataclass
+    accepts: numpy bools/ints for exact, floats in from_dict
+    (advisor round-5 finding)."""
+    c, p = both(score=1, index=2)
+    for m in (c, p):
+        m.exact = np.True_
+        assert m.exact is True or m.exact == True  # noqa: E712
+        m.exact = 0
+        assert not m.exact
+    c.exact = np.bool_(True)
+    assert c.exact is True
+    got = fm.Match.from_dict({"score": 1.0, "index": 2, "exact": 1})
+    want = types.PY_MATCH.from_dict({"score": 1.0, "index": 2, "exact": 1})
+    assert (got.score, got.index, got.exact) == (
+        want.score, want.index, want.exact
+    )
+
+
 def test_build_matches_bulk():
     idx = np.array([3, 1, 2], np.int64)
     sc = np.array([10, 0, 65535], np.int64)
