@@ -331,11 +331,17 @@ class PackedBucket:
                 digit = (bb >= 0x30) & (bb <= 0x39)
                 return (bb >= 0) & (bb <= 127) & ~letter & ~digit
 
-            ctx = ((first >= 0x41) & (first <= 0x5A)).astype(np.int8)
-            ctx |= _dl(first).astype(np.int8) << 1
-            ctx |= ((last >= 0x61) & (last <= 0x7A)).astype(np.int8) << 2
-            ctx |= _dl(last).astype(np.int8) << 3
-            ctx |= _utf8_len(cp32).astype(np.int8) << 4
+            ctx = (
+                ((first >= 0x41) & (first <= 0x5A)).astype(np.int8)
+                * _cs.CTX_UPPER_FIRST
+            )
+            ctx |= _dl(first).astype(np.int8) * _cs.CTX_DELIM_FIRST
+            ctx |= (
+                ((last >= 0x61) & (last <= 0x7A)).astype(np.int8)
+                * _cs.CTX_LOWER_LAST
+            )
+            ctx |= _dl(last).astype(np.int8) * _cs.CTX_DELIM_LAST
+            ctx |= _utf8_len(cp32).astype(np.int8) << _cs.CTX_BLEN_SHIFT
             ctxt = np.ascontiguousarray(
                 ctx.reshape(ng, _cs.SUBL, 128, w).transpose(0, 3, 1, 2)
             ).reshape(ng * w, _cs.SUBL, 128)

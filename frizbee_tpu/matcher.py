@@ -305,7 +305,11 @@ class Matcher:
         strategy = self._config.sort
         cache = getattr(self, "_dispatch_cache", None)
         ck = (id(corpus), bool(full_window))
-        if cache is not None and ck in cache and cache[ck][0] is corpus:
+        if (
+            cache is not None
+            and ck in cache
+            and cache[ck][0]() is corpus
+        ):
             _c, fast, prep = cache[ck]
         else:
             from .ops.batch import colstream_eligible_all
@@ -350,15 +354,26 @@ class Matcher:
                 prep = (buckets, statics, bst, stacked, buckets_T,
                         fin_cap, window)
             else:
-                prep = (buckets, patterns, statics, bst)
+                prep = (buckets, patterns, statics, bst, use_kernel)
             if cache is None:
                 cache = self._dispatch_cache = {}
             if len(cache) >= 4:
-                # entries hold corpus + device-block references: bound
-                # the cache so cycling matchers over many corpora can't
-                # pin old device arrays in HBM
+                # entries hold device-block references: bound the cache
+                # so cycling matchers over many corpora can't pin old
+                # device arrays in HBM
                 cache.clear()
-            cache[ck] = (corpus, fast, prep)
+            import weakref
+
+            # weakref + eviction callback: a corpus the caller dropped
+            # must not stay pinned (the prep tuples hold its device
+            # blocks) until a 4th entry happens to arrive
+            cache[ck] = (
+                weakref.ref(
+                    corpus,
+                    lambda _r, c=cache, k=ck: c.pop(k, None),
+                ),
+                fast, prep,
+            )
         if fast:
             (buckets, statics, bst, stacked, buckets_T, fin_cap,
              window) = prep
@@ -378,6 +393,7 @@ class Matcher:
                 finalize_cap=fin_cap,
             )[0]
         else:
+            buckets, patterns, statics, bst, use_kernel = prep
             out = fused_match_sorted(
                 buckets,
                 patterns,

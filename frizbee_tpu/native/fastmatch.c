@@ -193,16 +193,26 @@ Match_from_dict(PyObject *cls, PyObject *d)
 
 /* pickle/copy support: the dataclass round-tripped through pickle and
  * copy.deepcopy before the C type existed; __reduce__ restores that.
- * The loader registers the module as frizbee_tpu.native.fastmatch in
- * sys.modules (native/__init__.get_fastmatch), and importing the
- * parent packages re-registers it, so class-by-name resolution works
- * in fresh unpickling processes. */
+ * Pickles reference frizbee_tpu.types._rebuild_match — a stable,
+ * always-importable factory — NOT this synthetic extension module, so
+ * a no-native consumer (no toolchain, FRIZBEE_TPU_NO_NATIVE=1)
+ * unpickles into its own Match binding (the dataclass) and a
+ * native-enabled consumer gets the C type. */
 static PyObject *
 Match_reduce(MatchObject *self, PyObject *Py_UNUSED(ignored))
 {
-    return Py_BuildValue(
-        "(O(LLOL))", (PyObject *)Py_TYPE(self), self->score, self->index,
+    PyObject *types_mod = PyImport_ImportModule("frizbee_tpu.types");
+    if (types_mod == NULL)
+        return NULL;
+    PyObject *factory =
+        PyObject_GetAttrString(types_mod, "_rebuild_match");
+    Py_DECREF(types_mod);
+    if (factory == NULL)
+        return NULL;
+    PyObject *out = Py_BuildValue(
+        "(N(LLOL))", factory, self->score, self->index,
         self->exact ? Py_True : Py_False, self->end_col);
+    return out;
 }
 
 static PyObject *

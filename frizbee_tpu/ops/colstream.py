@@ -52,6 +52,16 @@ from ..config import MAX_HAYSTACK_LEN
 # needles); env override for device sweeps.
 SUBL = int(os.environ.get("FRIZBEE_TPU_COLSTREAM_SUBL", "8"))
 
+# ctx-plane bit layout — ONE definition shared by the pack-time NumPy
+# builder (corpus.device_arrays_colstream), the in-kernel fallback
+# (_bonus_bits), and the kernel readers; tests/test_colstream_ctx.py
+# pins an independent re-derivation as the third check.
+CTX_UPPER_FIRST = 1   # is_upper(first UTF-8 byte)
+CTX_DELIM_FIRST = 2   # delim(first byte)
+CTX_LOWER_LAST = 4    # lower(last byte)
+CTX_DELIM_LAST = 8    # delim(last byte)
+CTX_BLEN_SHIFT = 4    # bits 4-6: UTF-8 byte length
+
 # Dispatch bounds: per-needle-unit DP state lives in registers (2 tiles
 # per unit), so long needles and large typo budgets take the row-major
 # kernel instead.
@@ -129,7 +139,9 @@ def _column(cpT_ref, j, nu, unicode, dt=jnp.int32, ctx_ref=None,
             ctx = ctx_ref[j].astype(dt)
             blen = jnp.where(
                 valid,
-                jax.lax.shift_right_logical(ctx, jnp.asarray(4, dt)) & 7,
+                jax.lax.shift_right_logical(
+                    ctx, jnp.asarray(CTX_BLEN_SHIFT, dt)
+                ) & 7,
                 jnp.asarray(0, dt),
             )
             if want_bits:
@@ -157,10 +169,14 @@ def _bonus_bits(first, last, dt=jnp.int32):
         digit = (b >= 0x30) & (b <= 0x39)
         return (b >= 0) & (b <= 127) & ~letter & ~digit
 
-    bits = ((first >= 0x41) & (first <= 0x5A)).astype(dt)
-    bits = bits | (delim(first).astype(dt) << 1)
-    bits = bits | (((last >= 0x61) & (last <= 0x7A)).astype(dt) << 2)
-    bits = bits | (delim(last).astype(dt) << 3)
+    bits = (
+        ((first >= 0x41) & (first <= 0x5A)).astype(dt) * CTX_UPPER_FIRST
+    )
+    bits = bits | (delim(first).astype(dt) * CTX_DELIM_FIRST)
+    bits = bits | (
+        ((last >= 0x61) & (last <= 0x7A)).astype(dt) * CTX_LOWER_LAST
+    )
+    bits = bits | (delim(last).astype(dt) * CTX_DELIM_LAST)
     return bits
 
 
@@ -400,7 +416,7 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
         is_first = active & (seen_first == 0)
         seen_first = seen_first | active.astype(dt)
 
-        is_upper = (bits & 1) > 0
+        is_upper = (bits & CTX_UPPER_FIRST) > 0
         prev_lower = (pctx & 1) > 0
         prev_delim = (pctx & 2) > 0
 
@@ -408,7 +424,7 @@ def _match_block(scal_ref, cpT_ref, nu, W, n, T, scoring, unicode,
             return jnp.asarray(v, dt)  # dtype-pinned scalar constant
 
         cap_mask = is_upper & prev_lower & ~is_first
-        delim_first = (bits & 2) > 0
+        delim_first = (bits & CTX_DELIM_FIRST) > 0
         delim_mask = prev_delim & ~delim_first & ~is_first
         bonus = (
             jnp.where(cap_mask, cd(cap_b), cd(0))
@@ -567,10 +583,10 @@ def _literal_block(scal_ref, cpT_ref, nu, W, n, mode, nbl, scoring,
         # later columns take capitalization/delimiter context carried in
         # pctx (bit0 = prev unit's last byte was lowercase, bit1 delim);
         # the current unit's facts arrive as packed ``bits``
-        is_upper = (bits & 1) > 0
+        is_upper = (bits & CTX_UPPER_FIRST) > 0
         prev_lower = (pctx & 1) > 0
         prev_delim = (pctx & 2) > 0
-        delim_first = (bits & 2) > 0
+        delim_first = (bits & CTX_DELIM_FIRST) > 0
         bonus = jnp.where(
             j == 0,
             jnp.full(shape, prefix_b, jnp.int32),

@@ -187,6 +187,14 @@ class MatchIndices:
 # one-time gcc build (~1 s, then mtime-cached per host) is the price.
 PY_MATCH = Match
 build_matches = None
+
+
+def _rebuild_match(score, index, exact, end_col):
+    """Pickle factory referenced by the C Match.__reduce__ — lives at a
+    stable importable path so pickles round-trip across environments:
+    unpickling builds whatever ``Match`` binds to HERE (the C type when
+    the extension loads, the dataclass otherwise)."""
+    return Match(score, index, exact, end_col)
 try:
     from .native import get_fastmatch as _get_fastmatch
 

@@ -343,6 +343,45 @@ def test_q1_window_overflow_redispatch():
         fmatch.Q1_WINDOW_MIN = old
 
 
+def test_dispatch_cache_non_fast_path_repeat():
+    """Repeated single-query dispatch on the SAME corpus through a
+    NON-fast configuration (index-sort strategy) must serve from the
+    cache without error (advisor round-5: the cache-hit path referenced
+    locals only bound on a miss)."""
+    from frizbee_tpu.config import SortStrategy
+
+    hay = partial_match_corpus(median_length=24, num_samples=2500, seed=41)
+    corpus = pack_corpus(hay, unicode=False)
+    m = Matcher("dead", Config(sort=SortStrategy.INDEX_ASC))
+    first = m.match_arrays(corpus)
+    second = m.match_arrays(corpus)  # cache hit, non-fast branch
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a, b)
+    ref = Matcher(
+        "dead", Config(sort=SortStrategy.INDEX_ASC), use_device=False
+    ).match_arrays(corpus)
+    for a, b in zip(second, ref):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_dispatch_cache_releases_dropped_corpus():
+    """A corpus the caller dropped must not stay pinned by the dispatch
+    cache (weakref eviction)."""
+    import gc
+    import weakref
+
+    hay = partial_match_corpus(median_length=24, num_samples=2500, seed=43)
+    m = Matcher("dead", Config())
+    corpus = pack_corpus(hay, unicode=False)
+    m.match_arrays(corpus)
+    assert len(m._dispatch_cache) >= 1
+    ref = weakref.ref(corpus)
+    del corpus
+    gc.collect()
+    assert ref() is None
+    assert len(m._dispatch_cache) == 0
+
+
 def test_dispatch_cache_invalidates_on_set_pattern():
     """The per-corpus dispatch cache must not serve stale needles after
     set_pattern/set_config rebuilds."""

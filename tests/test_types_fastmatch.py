@@ -110,6 +110,22 @@ def test_pickle_copy_roundtrip():
         capture_output=True, text=True, timeout=120, cwd="/root/repo",
     )
     assert out.stdout.strip() == "9 4 True 2", out.stderr[-500:]
+    # ... including in a NO-NATIVE consumer (no toolchain / worker ->
+    # client shipping): the pickle references the stable types-module
+    # factory, so it unpickles into the dataclass there
+    import os
+
+    env = dict(os.environ, FRIZBEE_TPU_NO_NATIVE="1")
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import pickle;"
+         f"m=pickle.loads(bytes.fromhex('{blob}'));"
+         "import frizbee_tpu.types as t;"
+         "print(type(m) is t.PY_MATCH, m.score, m.exact)"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+        env=env,
+    )
+    assert out.stdout.strip() == "True 9 True", out.stderr[-500:]
 
 
 def test_lenient_assignment_and_coercion():
