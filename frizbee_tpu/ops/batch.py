@@ -444,6 +444,89 @@ def _decode_keys(k64, idx_bits, idx_mask):
     return index, meta
 
 
+# Broad-needle result selection: block-min tournament constants. R is
+# the slots-per-block (the Pallas gather moves R*2 int32 = 8R bytes per
+# block DMA; 128 -> 1 KB); G the DMAs per grid step. Values chosen on
+# the real device (benchmarks/probe_broad_topk.py).
+BROAD_TOPK_R = 128
+BROAD_TOPK_G = 8
+
+
+def _broad_topk_ok(total, fetch_rows):
+    """Gate for the tournament: needs total % R == 0 (group-padded
+    colstream totals are multiples of 1024; unpadded row-major totals
+    simply fall back), at least fetch_rows blocks, and a gathered
+    candidate set no more than half the full width (else the full sort
+    is as cheap)."""
+    R = BROAD_TOPK_R
+    return (
+        total % R == 0
+        and fetch_rows <= total // R
+        and 2 * fetch_rows * R <= total
+    )
+
+
+def _broad_topk(hi, lo, *, fetch_rows, interpret):
+    """EXACT top-``fetch_rows`` smallest int64 keys per query from
+    (Q, total) int32 key halves, without the full-width sort: a
+    block-min tournament.
+
+    Correctness: block minima over R-slot blocks are themselves row
+    keys, and valid keys are UNIQUE (they embed the row index), so for
+    S = fetch_rows the S-th smallest block-min bm_S >= the S-th
+    smallest row key r_S (minima are a subset of the keys). Any true
+    top-S row r has key(r) <= r_S <= bm_S, so its block's minimum is
+    <= bm_S and that block sits among the S smallest block minima —
+    gathering those S blocks provably captures every top-S row.
+    Sentinel blocks (all INT64_MAX) tie, but carry no valid rows, so
+    an arbitrary tie-break among them is harmless. The gather rides
+    the same Pallas row-DMA kernel as the capped finalize (XLA's own
+    batched block gather faults the TPU worker — round-4 repro),
+    moving int64 keys as bitcast int32 pairs so one DMA carries both
+    halves of a block.
+
+    This replaces the full (Q, total) sort for broad needles (common-
+    particle unicode queries keep ~85-95% of groups stage-1-alive and
+    so never fit the capped path). Measured serving cost is NEUTRAL vs
+    that sort at the 1M arabic profile (bit-equal, blocking floors
+    identical — benchmarks/probe_broad_ab.{py,out}; the sort turned
+    out NOT to be the broad bottleneck, see STATUS.md known-gaps); it
+    stays on because it shrinks the finalize's sort working set from
+    (Q, total) to (Q, fetch*R), which matters as corpora scale past
+    1M rows."""
+    from .colstream import row_gather
+
+    Q, total = hi.shape
+    R = BROAD_TOPK_R
+    NB = total // R
+    S = min(fetch_rows, NB)
+    with jax.enable_x64(True):
+        k64 = (
+            (hi.astype(jnp.int64) << 32)
+            | (lo.astype(jnp.int64) & 0xFFFFFFFF)
+        )
+        bm = jnp.min(k64.reshape(Q, NB, R), axis=2)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (Q, NB), 1)
+        _, spos = jax.lax.sort(
+            (bm, pos), dimension=1, num_keys=1, is_stable=False
+        )
+        # int64 -> int32 pairs: one DMA moves both halves of a block
+        pairs = jax.lax.bitcast_convert_type(k64, jnp.int32)
+    sel = spos[:, :S].astype(jnp.int32)
+    flat = pairs.reshape(Q * NB, R * 2)
+    qbase = jax.lax.broadcasted_iota(jnp.int32, (Q, S), 0) * NB
+    g = row_gather(
+        flat, (qbase + sel).reshape(-1), G=BROAD_TOPK_G,
+        interpret=interpret,
+    )
+    with jax.enable_x64(True):
+        gk = jax.lax.bitcast_convert_type(
+            g.reshape(Q, S * R, 2), jnp.int64
+        )
+        ks = jax.lax.sort(gk, dimension=1, is_stable=False)
+        return ks[:, :fetch_rows]
+
+
 def _finalize(keys, counts, *, presorted, flags_cat, Q, fetch_rows,
               finalize_cap, idx_bits, idx_mask):
     # (finalize_cap is a static of the enclosing jit)
@@ -540,22 +623,41 @@ def _finalize(keys, counts, *, presorted, flags_cat, Q, fetch_rows,
                     )
             parts.append(kc_s)
         if n_sel < Q:
-            with jax.enable_x64(True):
-                kb = (
-                    (hi[n_sel:].astype(jnp.int64) << 32)
-                    | (lo[n_sel:].astype(jnp.int64) & 0xFFFFFFFF)
+            if _broad_topk_ok(hi.shape[1], fetch_rows):
+                # broad queries: exact block-min tournament instead of
+                # the full (Q_b, total) sort
+                kc_b = _broad_topk(
+                    hi[n_sel:], lo[n_sel:], fetch_rows=fetch_rows,
+                    interpret=interp,
                 )
-                kc_b = jax.lax.sort(
-                    kb, dimension=1, is_stable=False
-                )[:, :fetch_rows]
-                if kc_b.shape[1] < fetch_rows:
-                    kc_b = jnp.pad(
-                        kc_b,
-                        ((0, 0), (0, fetch_rows - kc_b.shape[1])),
-                        constant_values=INT64_MAX,
+            else:
+                with jax.enable_x64(True):
+                    kb = (
+                        (hi[n_sel:].astype(jnp.int64) << 32)
+                        | (lo[n_sel:].astype(jnp.int64) & 0xFFFFFFFF)
                     )
+                    kc_b = jax.lax.sort(
+                        kb, dimension=1, is_stable=False
+                    )[:, :fetch_rows]
+                    if kc_b.shape[1] < fetch_rows:
+                        kc_b = jnp.pad(
+                            kc_b,
+                            ((0, 0), (0, fetch_rows - kc_b.shape[1])),
+                            constant_values=INT64_MAX,
+                        )
             parts.append(kc_b)
         kc = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    elif (
+        isinstance(keys, tuple)
+        and _broad_topk_ok(keys[0].shape[1], fetch_rows)
+    ):
+        # the in-place flow with no capped tier (every query broad, or
+        # the corpus below the mixed-finalize group gate): exact
+        # block-min tournament instead of the full (Q, total) sort
+        kc = _broad_topk(
+            keys[0], keys[1], fetch_rows=fetch_rows,
+            interpret=jax.default_backend() != "tpu",
+        )
     else:
         if isinstance(keys, tuple):
             hi, lo = keys

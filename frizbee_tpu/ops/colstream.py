@@ -42,6 +42,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -690,11 +691,11 @@ def _literal_block(scal_ref, cpT_ref, nu, W, n, mode, nbl, scoring,
     )
 
 
-def block_gather(data: jnp.ndarray, rows: jnp.ndarray,
-                 interpret: bool = False) -> jnp.ndarray:
+def row_gather(data: jnp.ndarray, rows: jnp.ndarray,
+               G: int = 8, interpret: bool = False) -> jnp.ndarray:
     """Gather whole rows of ``data`` (R, C) int32 at ``rows`` (M,) int32
     via a trivial Pallas copy kernel (scalar-prefetched row ids drive
-    the input index map — each grid step DMAs one row block).
+    the input index map — each grid step DMAs G row blocks).
 
     Exists because XLA:TPU's batched block take_along_axis FAULTS the
     TPU worker at some serving shapes (round-4 minimal repro), and a
@@ -702,11 +703,10 @@ def block_gather(data: jnp.ndarray, rows: jnp.ndarray,
     operand stays UNBLOCKED (ANY memory space — no operand copy; G
     aliased blocked operands materialized G copies and OOMed HBM at
     Q=32) and each grid step issues G overlapped row DMAs by hand.
-    C must be a multiple of 1024 (rows view as (8, C/8) tiles)."""
-    G = 8
+    C must be a multiple of 128 (rows view as (C/128, 128) tiles)."""
     M = rows.shape[0]
     R, C = data.shape
-    d3 = data.reshape(R, 8, C // 8)
+    d3 = data.reshape(R, C // 128, 128)
     Mp = -(-M // G) * G
     if Mp != M:
         rows = jnp.concatenate(
@@ -714,11 +714,15 @@ def block_gather(data: jnp.ndarray, rows: jnp.ndarray,
         )
 
     def kernel(rows_ref, data_ref, out_ref, scratch, sem):
-        i = pl.program_id(0)
+        # np.int32 index constants: python ints traced under an
+        # ambient enable_x64 lower as i64 memref indices Mosaic
+        # rejects (callers outside an x64 scope are unaffected)
+        i = pl.program_id(0) * np.int32(G)
         copies = []
         for j in range(G):
             c = pltpu.make_async_copy(
-                data_ref.at[rows_ref[i * G + j]], scratch.at[j], sem
+                data_ref.at[rows_ref[i + np.int32(j)]],
+                scratch.at[np.int32(j)], sem
             )
             c.start()
             copies.append(c)
@@ -726,23 +730,39 @@ def block_gather(data: jnp.ndarray, rows: jnp.ndarray,
             c.wait()
         out_ref[...] = scratch[...]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(Mp // G,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((G, 8, C // 8), lambda i, r: (i, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((G, 8, C // 8), data.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((Mp, 8, C // 8), data.dtype),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(rows.astype(jnp.int32), d3)
+    # built under enable_x64(False): an index map traced under an
+    # ambient x64 scope emits i64 block indices Mosaic won't legalize
+    # (a func.func returning (i32, i64, i64) fails legalization)
+    with jax.enable_x64(False):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Mp // G,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(
+                (G, C // 128, 128), lambda i, r: (i, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((G, C // 128, 128), data.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (Mp, C // 128, 128), data.dtype
+            ),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(rows.astype(jnp.int32), d3)
     return out[:M].reshape(M, C)
+
+
+def block_gather(data: jnp.ndarray, rows: jnp.ndarray,
+                 interpret: bool = False) -> jnp.ndarray:
+    """row_gather at the capped finalize's group-row granularity
+    (C a multiple of 1024; identical kernel — the (8, C/8) view it
+    used before equals row_gather's (C/128, 128) view there)."""
+    return row_gather(data, rows, G=8, interpret=interpret)
 
 
 @functools.partial(
