@@ -576,13 +576,16 @@ def _persist(rows):
             "all_scores rows are COMPUTE-bound, not HBM-bound — "
             "probe_vpu_roofline.jsonl pins the kernel alone at ~60% of "
             "a stated VPU op ceiling (84-99 G DP cells/s) with HBM at "
-            "2-3%. The unicode_arabic rows are bound by the RESULT SORT, "
-            "not the kernel: their common-particle needles keep ~85% of "
-            "groups stage-1-alive, so broad queries take the full "
-            "per-row key sort (measured 1.7 ms/q at 1M rows, vs "
-            "0.5 ns/row for the skip-gated kernel itself) and an exact "
-            "top-k replacement measured SLOWER than the single-operand "
-            "sort (XLA top_k probe: 2.8 vs 1.7 ms/q at 1M). "
+            "2-3%. The unicode_arabic rows sit at a ~3.2 ms/q per-query "
+            "floor that is INDEPENDENT of needle selectivity, Q, and "
+            "(minus ~0.8 ms/q of transport) of k: replacing their "
+            "result sort outright with the exact block-min tournament "
+            "moved nothing (probe_broad_ab, bit-equal arms), and the "
+            "root cause is stage-1 presence SATURATION — the arabic "
+            "alphabet is small enough that 94.9% of 1024-row groups "
+            "stay alive for ANY needle (korean: 8-33%, which is why "
+            "korean_1m reaches ~0.95x of x8 on identical machinery) — "
+            "see probe_arabic_decomp and STATUS.md. "
             "DERIVED anchors (all "
             "favorable to the reference, from its own published rows): "
             "xl_heavy = Partial Match len-64 byte-scaled x32 (its "
